@@ -9,7 +9,28 @@ Everything is re-exported flat from the package root, mirroring the
 reference's flat crate root (reference: src/lib.rs:11-20).
 """
 
+from .buffer import (  # noqa: F401
+    GaussianDisplayMode,
+    GaussiansBuffer,
+    GaussianTransform,
+    ModelTransform,
+)
 from .errors import *  # noqa: F401,F403
+from .layouts import (  # noqa: F401
+    ALL_LAYOUTS,
+    Cov3dFormat,
+    GaussianLayout,
+    PackedGaussians,
+    ShFormat,
+    pack,
+    unpack,
+)
 from .models import *  # noqa: F401,F403
+from .ops import (  # noqa: F401
+    KernelBundle,
+    KernelBundleBuilder,
+    OutputSpec,
+    ResourceGroupLayout,
+)
 
 __version__ = "0.1.0"

@@ -32,5 +32,12 @@ from .ops import (  # noqa: F401
     OutputSpec,
     ResourceGroupLayout,
 )
+from .render import (  # noqa: F401
+    Camera,
+    RenderResult,
+    render,
+    render_gaussians,
+    render_reference,
+)
 
 __version__ = "0.1.0"

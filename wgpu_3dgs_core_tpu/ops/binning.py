@@ -1,0 +1,177 @@
+"""Depth-key sort, tile binning, and the tile/chunk work schedule.
+
+Renderer extension (SURVEY.md §7 M4, hard part #1): TPU has no efficient
+random scatter, so binning is formulated as bulk sort/segment ops — the
+duplicate-into-(tile, depth)-keys-and-sort design of the original 3DGS,
+built from static-capacity jnp primitives so everything jits:
+
+1. per-gaussian tile bboxes -> fragment counts -> exclusive offsets
+2. fragment expansion into a fixed-capacity stream (searchsorted inverse)
+3. two stable sorts (depth, then tile) == one sort by (tile, depth, id)
+4. per-tile [start, end) ranges by binary search
+5. a (tile, chunk) work schedule for the streaming rasterizer kernel,
+   also fixed-capacity, with first/last flags for accumulator init/flush
+
+Capacity overflow is detected and returned, never silent (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+TILE_SIZE = 16
+
+
+class FragmentStream(NamedTuple):
+    """Sorted (tile, depth) fragment stream, fixed capacity F_cap."""
+
+    gauss_id: jnp.ndarray  # [F_cap] int32, gaussian per fragment
+    tile_id: jnp.ndarray  # [F_cap] int32, == num_tiles for padding slots
+    num_fragments: jnp.ndarray  # scalar int32
+    overflow: jnp.ndarray  # scalar bool: true fragment count > capacity
+    tile_start: jnp.ndarray  # [num_tiles] int32
+    tile_end: jnp.ndarray  # [num_tiles] int32
+
+
+class WorkSchedule(NamedTuple):
+    """One entry per (tile, fragment-chunk) pair, fixed capacity W_cap."""
+
+    tile: jnp.ndarray  # [W_cap] int32, tile of this work item
+    block: jnp.ndarray  # [W_cap] int32, fragment-block index (chunk_size units)
+    first: jnp.ndarray  # [W_cap] int32, 1 on a tile's first chunk
+    last: jnp.ndarray  # [W_cap] int32, 1 on a tile's last chunk
+    valid: jnp.ndarray  # [W_cap] int32, 0 on padding items (must be no-ops)
+    num_work: jnp.ndarray  # scalar int32
+
+
+def num_tiles(width: int, height: int) -> tuple[int, int]:
+    tx = -(-width // TILE_SIZE)
+    ty = -(-height // TILE_SIZE)
+    return tx, ty
+
+
+def tile_bounds(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
+                tiles_y: int) -> tuple:
+    """Per-gaussian tile bbox [x0, x1) x [y0, y1), clamped to the grid."""
+    x0 = jnp.clip(((xy[:, 0] - radius) / TILE_SIZE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(((xy[:, 1] - radius) / TILE_SIZE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(
+        ((xy[:, 0] + radius + TILE_SIZE - 1) / TILE_SIZE), 0, tiles_x
+    ).astype(jnp.int32)
+    y1 = jnp.clip(
+        ((xy[:, 1] + radius + TILE_SIZE - 1) / TILE_SIZE), 0, tiles_y
+    ).astype(jnp.int32)
+    return x0, y0, x1, y1
+
+
+def bin_splats(
+    xy: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    max_fragments: int,
+) -> FragmentStream:
+    """Expand gaussians into a (tile, depth)-sorted fragment stream."""
+    n = xy.shape[0]
+    t_total = tiles_x * tiles_y
+    x0, y0, x1, y1 = tile_bounds(xy, radius, tiles_x, tiles_y)
+    span_x = jnp.maximum(x1 - x0, 0)
+    span_y = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(mask & (radius > 0), span_x * span_y, 0)
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total = offsets[-1] + counts[-1] if n else jnp.int32(0)
+    overflow = total > max_fragments
+
+    slot = jnp.arange(max_fragments, dtype=jnp.int32)
+    # Owner gaussian of each slot: last g with offsets[g] <= slot.
+    g = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, max(n - 1, 0))
+    rank = slot - offsets[g]
+    w = jnp.maximum(span_x[g], 1)
+    dx = rank % w
+    dy = rank // w
+    tile = (y0[g] + dy) * tiles_x + (x0[g] + dx)
+    valid = slot < total
+    tile = jnp.where(valid, tile, t_total).astype(jnp.int32)
+
+    # Sort by (tile, depth, id): two stable sorts. Slots start in id order.
+    d = jnp.where(valid, depth[g], jnp.inf)
+    order1 = jnp.argsort(d, stable=True)
+    tile1 = tile[order1]
+    g1 = g[order1]
+    order2 = jnp.argsort(tile1, stable=True)
+    tile_sorted = tile1[order2]
+    gauss_id = g1[order2].astype(jnp.int32)
+
+    tile_ids = jnp.arange(t_total, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(
+        jnp.int32
+    )
+
+    return FragmentStream(
+        gauss_id=gauss_id,
+        tile_id=tile_sorted,
+        num_fragments=jnp.minimum(total, max_fragments).astype(jnp.int32),
+        overflow=overflow,
+        tile_start=tile_start,
+        tile_end=tile_end,
+    )
+
+
+def build_work_schedule(stream: FragmentStream, chunk_size: int,
+                        max_work: int, n_blocks: int) -> WorkSchedule:
+    """(tile, chunk) schedule for the streaming rasterizer.
+
+    Every tile gets >= 1 work item (empty tiles still must write their
+    output block); a tile whose fragments span blocks [s//K, (e-1)//K] gets
+    one item per block. Padding work items point at the LAST tile and LAST
+    fragment block with first=last=0: the kernel revisits already-flushed
+    blocks as no-ops instead of clobbering earlier ones (output blocks are
+    only coherent while their grid indices stay monotone).
+    """
+    start = stream.tile_start
+    end = stream.tile_end
+    t_total = start.shape[0]
+
+    first_blk = start // chunk_size
+    last_blk = jnp.where(end > start, (end - 1) // chunk_size, first_blk)
+    chunks = jnp.maximum(last_blk - first_blk + 1, 1)
+
+    w_off = jnp.cumsum(chunks) - chunks
+    total_work = w_off[-1] + chunks[-1]
+
+    wslot = jnp.arange(max_work, dtype=jnp.int32)
+    t = jnp.searchsorted(w_off, wslot, side="right").astype(jnp.int32) - 1
+    t = jnp.clip(t, 0, t_total - 1)
+    k = wslot - w_off[t]
+    valid = wslot < total_work
+
+    tile = jnp.where(valid, t, t_total - 1).astype(jnp.int32)
+    block = jnp.where(valid, first_blk[t] + k, n_blocks - 1).astype(jnp.int32)
+    first = (valid & (k == 0)).astype(jnp.int32)
+    last = (valid & (k == chunks[t] - 1)).astype(jnp.int32)
+
+    return WorkSchedule(
+        tile=tile,
+        block=block,
+        first=first,
+        last=last,
+        valid=valid.astype(jnp.int32),
+        num_work=jnp.minimum(total_work, max_work).astype(jnp.int32),
+    )
+
+
+def default_max_fragments(n: int, tiles_x: int, tiles_y: int,
+                          avg_overlap: float = 8.0) -> int:
+    """Heuristic stream capacity, rounded up to a lane multiple."""
+    cap = int(max(n * avg_overlap, 1024))
+    cap = min(cap, n * tiles_x * tiles_y) if n else 1024
+    return -(-cap // 256) * 256

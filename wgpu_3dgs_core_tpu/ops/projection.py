@@ -1,0 +1,116 @@
+"""Screen-space projection: 3D gaussians -> 2D splats (EWA).
+
+Renderer extension (SURVEY.md §7, M3): pure-jnp, fully differentiable,
+vectorized over N. Deliberately NOT a Pallas kernel: it is elementwise per
+gaussian, so XLA fuses it into a handful of VPU loops; the memory-bound hot
+spots are the sort/binning and tile blending stages, not this.
+
+Math follows the EWA splatting formulation used by the original 3DGS
+(gsplat supplement, arXiv:2312.02121): camera-space covariance
+W Sigma W^T, perspective Jacobian J, screen covariance
+Sigma2D = J W Sigma W^T J^T + blur*I.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..render.camera import Camera
+from .transforms import quat_to_mat3, sigma6_to_mat3
+
+# Low-pass dilation added to the 2D covariance, as in the original 3DGS.
+COV2D_BLUR = 0.3
+# Cutoff in standard deviations for the splat's pixel extent.
+RADIUS_CUTOFF = 3.0
+
+
+class ProjectedSplats(NamedTuple):
+    """Per-gaussian screen-space quantities (all [N, ...])."""
+
+    xy: jnp.ndarray  # [N, 2] pixel coordinates of the mean
+    depth: jnp.ndarray  # [N] camera-space z
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # [N] pixel radius (0 => culled)
+    mask: jnp.ndarray  # [N] bool, in-frustum and non-degenerate
+
+
+def project(
+    means: jnp.ndarray,
+    cov3d_sigma6: jnp.ndarray,
+    camera: Camera,
+    model_transform: Optional[tuple] = None,
+    model_scale_rot: Optional[jnp.ndarray] = None,
+) -> ProjectedSplats:
+    """Project gaussians to screen space.
+
+    ``means``: [N, 3] model/world-space centers.
+    ``cov3d_sigma6``: [N, 6] packed upper-triangular 3D covariance.
+    ``model_transform``: optional (pos, rot, scale) arrays applying a
+    model->world TRS before the view transform (the analog of consuming
+    ModelTransformPod, reference: src/shader/model_transform.wesl).
+    """
+    view = camera.view_matrix()
+    r_view = view[:3, :3]
+    t_view = view[:3, 3]
+
+    sigma = sigma6_to_mat3(cov3d_sigma6)  # [N, 3, 3]
+
+    if model_transform is not None:
+        m_pos, m_rot, m_scale = model_transform
+        sr = quat_to_mat3(m_rot) * m_scale[None, :]  # 3x3
+        means = means @ sr.T + m_pos
+        sigma = jnp.einsum("ij,njk,lk->nil", sr, sigma, sr)
+
+    # World -> camera.
+    t = means @ r_view.T + t_view  # [N, 3]
+    tz = t[..., 2]
+
+    # Frustum cull with a margin (as in 3DGS: cull means far outside).
+    lim_x = 1.3 * camera.tan_half_fov_x
+    lim_y = 1.3 * camera.tan_half_fov_y
+    tz_safe = jnp.where(tz > camera.near, tz, camera.near)
+    txz = jnp.clip(t[..., 0] / tz_safe, -lim_x, lim_x)
+    tyz = jnp.clip(t[..., 1] / tz_safe, -lim_y, lim_y)
+
+    in_frustum = (tz > camera.near) & (tz < camera.far)
+
+    # Perspective Jacobian at the (clamped) mean.
+    fx, fy = camera.fx, camera.fy
+    j00 = fx / tz_safe
+    j02 = -fx * txz / tz_safe
+    j11 = fy / tz_safe
+    j12 = -fy * tyz / tz_safe
+
+    # V = W Sigma W^T (camera-space covariance).
+    v = jnp.einsum("ij,njk,lk->nil", r_view, sigma, r_view)
+
+    # Sigma2D = J V J^T with J = [[j00, 0, j02], [0, j11, j12]].
+    v00, v01, v02 = v[..., 0, 0], v[..., 0, 1], v[..., 0, 2]
+    v11, v12, v22 = v[..., 1, 1], v[..., 1, 2], v[..., 2, 2]
+    c00 = j00 * (j00 * v00 + j02 * v02) + j02 * (j00 * v02 + j02 * v22) + COV2D_BLUR
+    c01 = j11 * (j00 * v01 + j02 * v12) + j12 * (j00 * v02 + j02 * v22)
+    c11 = j11 * (j11 * v11 + j12 * v12) + j12 * (j11 * v12 + j12 * v22) + COV2D_BLUR
+
+    det = c00 * c11 - c01 * c01
+    valid = in_frustum & (det > 0.0)
+    det_safe = jnp.where(det > 0.0, det, 1.0)
+
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
+
+    # Extent: RADIUS_CUTOFF standard deviations of the major axis.
+    mid = 0.5 * (c00 + c11)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
+    radius = jnp.ceil(RADIUS_CUTOFF * jnp.sqrt(lambda1))
+    radius = jnp.where(valid, radius, 0.0)
+
+    # Pixel coordinates of the mean.
+    u = fx * t[..., 0] / tz_safe + camera.cx
+    v_pix = fy * t[..., 1] / tz_safe + camera.cy
+    xy = jnp.stack([u, v_pix], axis=-1)
+
+    return ProjectedSplats(
+        xy=xy, depth=tz, conic=conic, radius=radius, mask=valid
+    )

@@ -1,0 +1,365 @@
+"""Streaming tile rasterizer: Pallas forward + hand-derived backward.
+
+Renderer extension (SURVEY.md §7 M4/M5, hard parts #1/#2). The kernel
+consumes the (tile, depth)-sorted fragment stream from ops/binning.py
+through a fixed (tile, chunk) work schedule:
+
+- grid = one program per work item; items of a tile are consecutive, so the
+  per-tile output block stays resident in VMEM across its chunks and
+  per-pixel accumulators (color, transmittance) live in scratch.
+- fragment attributes are stored attribute-major [16, F_pad] so a chunk is
+  a (16, chunk) block: attribute rows broadcast against the 256 tile pixels
+  held on the other axis — [256 pixels, chunk frags] VPU math with no
+  in-kernel transposes (Mosaic dislikes lane-stacking; see repo history).
+- the front-to-back transmittance recurrence is computed per chunk as
+  exp(cumsum(log1p(-alpha))) with the exclusive cumsum done as one
+  [256, K] x [K, K] strict-lower-triangular matmul on the MXU.
+
+Blending semantics match render/reference.py exactly (alpha clamp 0.99,
+alpha floor 1/255, q cutoff 3 sigma, T floor 1e-4); the backward kernel
+re-derives gradients analytically per tile with suffix sums
+S_i = C_blend - A_i so everything runs front-to-back in one pass
+(no reverse sweep, bounded memory).
+
+Attribute rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:r 6:g 7:b
+8:opacity 9..15:pad.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TILE_SIZE
+from .kernel_bundle import interpret_mode
+
+NUM_ATTRS = 16
+PIX = TILE_SIZE * TILE_SIZE  # 256 pixels per tile
+
+ALPHA_CLAMP = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_MIN = 1e-4
+Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
+
+
+def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid):
+    """Shared fwd/bwd per-chunk math up to alpha. Returns per-fragment rows
+    [1, K] and per-(pixel, fragment) [PIX, K] arrays. ``item_valid`` masks
+    padding work items to no-ops (they revisit real tiles' ranges)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    fidx = blk * chunk + lane
+    inrange = (fidx >= ts) & (fidx < te) & (item_valid == 1)
+
+    x = frag_ref[0:1, :]
+    y = frag_ref[1:2, :]
+    c0 = frag_ref[2:3, :]
+    c1 = frag_ref[3:4, :]
+    c2 = frag_ref[4:5, :]
+    op = frag_ref[8:9, :]
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE_SIZE + p % TILE_SIZE).astype(jnp.float32) + 0.5
+    py = (ty * TILE_SIZE + p // TILE_SIZE).astype(jnp.float32) + 0.5
+
+    dx = px - x  # [PIX, K]
+    dy = py - y
+    q = c0 * dx * dx + 2.0 * c1 * dx * dy + c2 * dy * dy
+    g_exp = jnp.exp(-0.5 * q)
+    alpha_raw = op * g_exp
+    alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
+    ok = inrange & (q <= Q_CUTOFF) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
+    return alpha, alpha_raw, g_exp, ok, dx, dy, q
+
+
+def _tri(chunk, strict):
+    """[K, K] lower-triangular ones: cumsum-by-matmul operand."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return ((i < j) if strict else (i <= j)).astype(jnp.float32)
+
+
+def _fwd_kernel(
+    wt_ref, wb_ref, wfirst_ref, wlast_ref, wvalid_ref, tstart_ref, tend_ref,  # prefetch
+    frag_ref,  # (NUM_ATTRS, chunk) VMEM
+    out_ref,  # (1, PIX, 4) VMEM
+    state_ref,  # (PIX, 8) VMEM scratch: cols 0-2 acc rgb, col 3 T
+    *,
+    chunk: int,
+    tiles_x: int,
+    bg: tuple,
+):
+    w = pl.program_id(0)
+    t = wt_ref[w]
+    blk = wb_ref[w]
+    ts = tstart_ref[t]
+    te = tend_ref[t]
+
+    @pl.when(wfirst_ref[w] == 1)
+    def _():
+        state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
+        state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+
+    alpha, _, _, _, _, _, _ = _chunk_alphas(
+        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk,
+        wvalid_ref[w],
+    )
+
+    log1m = jnp.log1p(-alpha)
+    ecs = jnp.dot(log1m, _tri(chunk, strict=True),
+                  preferred_element_type=jnp.float32)
+
+    t_run = state_ref[:, 3:4]
+    t_i = t_run * jnp.exp(ecs)  # [PIX, K]
+    blend = t_i > T_MIN
+    wgt = jnp.where(blend, alpha * t_i, 0.0)
+
+    r = frag_ref[5:6, :]
+    g = frag_ref[6:7, :]
+    b = frag_ref[7:8, :]
+    state_ref[:, 0:1] += jnp.sum(wgt * r, axis=1, keepdims=True)
+    state_ref[:, 1:2] += jnp.sum(wgt * g, axis=1, keepdims=True)
+    state_ref[:, 2:3] += jnp.sum(wgt * b, axis=1, keepdims=True)
+    state_ref[:, 3:4] = t_run * jnp.exp(
+        jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
+    )
+
+    @pl.when(wlast_ref[w] == 1)
+    def _():
+        t_f = state_ref[:, 3:4]
+        for ch in range(3):
+            out_ref[0, :, ch : ch + 1] = (
+                state_ref[:, ch : ch + 1] + t_f * float(bg[ch])
+            )
+        out_ref[0, :, 3:4] = t_f
+
+
+def _bwd_kernel(
+    wt_ref, wb_ref, wfirst_ref, wlast_ref, wvalid_ref, wnew_ref, tstart_ref,
+    tend_ref,
+    frag_ref,  # (NUM_ATTRS, chunk)
+    fwd_ref,  # (1, PIX, 4): forward output tile (color+bg, T_final)
+    g_ref,  # (1, PIX, 4): cotangent of the forward output tile
+    dfrag_ref,  # out (NUM_ATTRS, chunk), accumulated across revisits
+    state_ref,  # (PIX, 8) scratch: cols 0-2 prefix A rgb, col 3 T
+    *,
+    chunk: int,
+    tiles_x: int,
+    bg: tuple,
+):
+    w = pl.program_id(0)
+    t = wt_ref[w]
+    blk = wb_ref[w]
+    ts = tstart_ref[t]
+    te = tend_ref[t]
+
+    @pl.when(wnew_ref[w] == 1)
+    def _():
+        dfrag_ref[...] = jnp.zeros((NUM_ATTRS, chunk), jnp.float32)
+
+    @pl.when(wfirst_ref[w] == 1)
+    def _():
+        state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
+        state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+
+    alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
+        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk,
+        wvalid_ref[w],
+    )
+    c0 = frag_ref[2:3, :]
+    c1 = frag_ref[3:4, :]
+    op = frag_ref[8:9, :]
+    rgb_rows = (frag_ref[5:6, :], frag_ref[6:7, :], frag_ref[7:8, :])
+
+    log1m = jnp.log1p(-alpha)
+    tri_excl = _tri(chunk, strict=True)
+    tri_incl = _tri(chunk, strict=False)
+    ecs = jnp.dot(log1m, tri_excl, preferred_element_type=jnp.float32)
+
+    t_run = state_ref[:, 3:4]
+    t_i = t_run * jnp.exp(ecs)
+    blend = t_i > T_MIN
+    wgt = jnp.where(blend, alpha * t_i, 0.0)
+
+    t_f = fwd_ref[0, :, 3:4]  # [PIX, 1]
+    g_t_total = g_ref[0, :, 3:4] + (
+        g_ref[0, :, 0:1] * float(bg[0])
+        + g_ref[0, :, 1:2] * float(bg[1])
+        + g_ref[0, :, 2:3] * float(bg[2])
+    )
+
+    # dL/dalpha_i = sum_ch g_ch (T_i c_ich - S_ich/(1-a_i))
+    #              - gT_total * T_f/(1-a_i),   S_i = C_blend - A_i(incl)
+    one_minus = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
+    dalpha = -g_t_total * t_f / one_minus  # [PIX, K]
+    for ch in range(3):
+        g_ch = g_ref[0, :, ch : ch + 1]  # [PIX, 1]
+        c_ch = rgb_rows[ch]  # [1, K]
+        wc = wgt * c_ch
+        a_incl = state_ref[:, ch : ch + 1] + jnp.dot(
+            wc, tri_incl, preferred_element_type=jnp.float32
+        )
+        c_blend = fwd_ref[0, :, ch : ch + 1] - t_f * float(bg[ch])
+        s_i = c_blend - a_incl
+        dalpha += g_ch * (t_i * c_ch - s_i / one_minus)
+        # color gradient: dL/dc_ich = g_ch * w_i, summed over pixels
+        dfrag_ref[5 + ch : 6 + ch, :] += jnp.sum(
+            g_ch * wgt, axis=0, keepdims=True
+        )
+    dalpha = jnp.where(blend & ok, dalpha, 0.0)
+
+    # alpha = min(0.99, op * G): clamp kills the gradient.
+    live = alpha_raw < ALPHA_CLAMP
+    dalpha = jnp.where(live, dalpha, 0.0)
+    d_op = dalpha * g_exp
+    d_g = dalpha * op
+    d_q = d_g * (-0.5) * g_exp
+    d_c0 = d_q * dx * dx
+    d_c1 = 2.0 * d_q * dx * dy
+    d_c2 = d_q * dy * dy
+    d_x = -d_q * (2.0 * c0 * dx + 2.0 * c1 * dy)
+    d_y = -d_q * (2.0 * frag_ref[4:5, :] * dy + 2.0 * c1 * dx)
+
+    dfrag_ref[0:1, :] += jnp.sum(d_x, axis=0, keepdims=True)
+    dfrag_ref[1:2, :] += jnp.sum(d_y, axis=0, keepdims=True)
+    dfrag_ref[2:3, :] += jnp.sum(d_c0, axis=0, keepdims=True)
+    dfrag_ref[3:4, :] += jnp.sum(d_c1, axis=0, keepdims=True)
+    dfrag_ref[4:5, :] += jnp.sum(d_c2, axis=0, keepdims=True)
+    dfrag_ref[8:9, :] += jnp.sum(d_op, axis=0, keepdims=True)
+
+    # advance prefix accumulators
+    for ch in range(3):
+        state_ref[:, ch : ch + 1] += jnp.sum(
+            wgt * rgb_rows[ch], axis=1, keepdims=True
+        )
+    state_ref[:, 3:4] = t_run * jnp.exp(
+        jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def rasterize_tiles(
+    frag_attrs,  # [NUM_ATTRS, F_pad] f32, differentiable
+    work_tile,  # [W] int32
+    work_block,  # [W] int32
+    work_first,  # [W] int32
+    work_last,  # [W] int32
+    work_valid,  # [W] int32 (0 = padding item, fully inert)
+    work_new_block,  # [W] int32 (bwd only; 1 when block differs from prev)
+    tile_start,  # [T] int32
+    tile_end,  # [T] int32
+    chunk: int,
+    tiles_x: int,
+    n_tiles: int,
+    bg: tuple,
+):
+    """Rasterize the fragment stream into per-tile pixel blocks.
+
+    Returns [n_tiles, 256, 4] f32: RGB (background composited) + final
+    transmittance.
+    """
+    return _rasterize_fwd_call(
+        frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
+        tile_start, tile_end, chunk, tiles_x, n_tiles, bg,
+    )
+
+
+def _rasterize_fwd_call(frag_attrs, work_tile, work_block, work_first,
+                        work_last, work_valid, tile_start, tile_end, chunk,
+                        tiles_x, n_tiles, bg):
+    n_work = work_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (NUM_ATTRS, chunk),
+                lambda w, wt, wb, wf, wl, wv, ts, te: (0, wb[w]),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PIX, 4), lambda w, wt, wb, wf, wl, wv, ts, te: (wt[w], 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX, 4), jnp.float32),
+        interpret=interpret_mode(),
+    )(
+        work_tile, work_block, work_first, work_last, work_valid,
+        tile_start, tile_end, frag_attrs,
+    )
+
+
+def _rasterize_fwd(frag_attrs, work_tile, work_block, work_first, work_last,
+                   work_valid, work_new_block, tile_start, tile_end, chunk,
+                   tiles_x, n_tiles, bg):
+    out = _rasterize_fwd_call(
+        frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
+        tile_start, tile_end, chunk, tiles_x, n_tiles, bg,
+    )
+    residuals = (
+        frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
+        work_new_block, tile_start, tile_end, out,
+    )
+    return out, residuals
+
+
+def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
+    (frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
+     work_new_block, tile_start, tile_end, out) = residuals
+    n_work = work_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (NUM_ATTRS, chunk),
+                lambda w, wt, wb, wf, wl, wv, wn, ts, te: (0, wb[w]),
+            ),
+            pl.BlockSpec(
+                (1, PIX, 4),
+                lambda w, wt, wb, wf, wl, wv, wn, ts, te: (wt[w], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, PIX, 4),
+                lambda w, wt, wb, wf, wl, wv, wn, ts, te: (wt[w], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (NUM_ATTRS, chunk),
+            lambda w, wt, wb, wf, wl, wv, wn, ts, te: (0, wb[w]),
+        ),
+        scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
+    )
+    dfrag = pl.pallas_call(
+        functools.partial(_bwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(frag_attrs.shape, jnp.float32),
+        interpret=interpret_mode(),
+    )(
+        work_tile, work_block, work_first, work_last, work_valid,
+        work_new_block, tile_start, tile_end, frag_attrs, out, g_out,
+    )
+    return (dfrag, None, None, None, None, None, None, None, None)
+
+
+rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+def tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int,
+                   width: int, height: int) -> jnp.ndarray:
+    """[T, 256, C] tile blocks -> [height, width, C] image crop."""
+    c = tiles.shape[-1]
+    img = tiles.reshape(tiles_y, tiles_x, TILE_SIZE, TILE_SIZE, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        tiles_y * TILE_SIZE, tiles_x * TILE_SIZE, c
+    )
+    return img[:height, :width]

@@ -1,0 +1,112 @@
+"""Brute-force reference renderer: per-pixel blend over all gaussians.
+
+Pure jnp, O(N * pixels), differentiable by autodiff. This is the semantic
+spec for the tiled Pallas renderer — the analog of the reference's
+"CPU glam result vs device kernel result" verification idiom (SURVEY.md
+§3.5): the Pallas path must match this within epsilon, and its hand-derived
+VJP must match this renderer's autodiff gradients.
+
+Blending semantics (shared with the tiled path):
+- alpha_i = min(0.99, opacity_i * exp(-0.5 q_i)), q = conic quadratic form
+- fragment contributes iff q <= RADIUS_CUTOFF^2 and alpha >= 1/255
+- front-to-back by camera depth; transmittance T_{i+1} = T_i (1 - alpha_i),
+  updated only while T_i > 1e-4 (fragments arriving after are skipped)
+- image = sum_i alpha_i T_i c_i + T_final * background
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..ops.projection import RADIUS_CUTOFF, project
+from ..ops.sh import gaussian_color
+from .camera import Camera
+
+ALPHA_CLAMP = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_MIN = 1e-4
+
+
+def blend_weights(alpha_sorted: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Front-to-back weights from depth-sorted alphas.
+
+    ``alpha_sorted``: [N, P] per-(gaussian, pixel) alphas in blend order.
+    Returns (weights [N, P], T_final [P]).
+    """
+    one_minus = 1.0 - alpha_sorted
+    # Exclusive cumprod: T_i = prod_{j<i} (1 - alpha_j).
+    t = jnp.concatenate(
+        [jnp.ones_like(alpha_sorted[:1]), jnp.cumprod(one_minus[:-1], axis=0)],
+        axis=0,
+    )
+    blend = t > T_MIN
+    w = alpha_sorted * t * blend
+    # T stops updating at the first fragment seeing T <= T_MIN, so T_final is
+    # the inclusive cumprod after the last blended fragment (index = number
+    # of blended fragments, t is monotone so blended fragments are a prefix).
+    k = jnp.sum(blend, axis=0)
+    t_all = jnp.concatenate([jnp.ones_like(t[:1]), t * one_minus], axis=0)
+    t_final = jnp.take_along_axis(t_all, k[None, :], axis=0)[0]
+    return w, t_final
+
+
+def render_reference(
+    means: jnp.ndarray,
+    cov3d_sigma6: jnp.ndarray,
+    base_color: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    sh: Optional[jnp.ndarray] = None,
+    sh_deg: int = 0,
+    no_sh0: bool = False,
+    background: tuple = (0.0, 0.0, 0.0),
+    model_transform: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Render [H, W, 3] by blending every gaussian at every pixel.
+
+    ``base_color``: [N, 3] in [0,1]; ``opacity``: [N] in [0,1];
+    ``sh``: optional [N, 15, 3] rest coefficients.
+    """
+    h, w_px = camera.height, camera.width
+    splats = project(means, cov3d_sigma6, camera, model_transform)
+
+    # View-dependent color, directions from camera center to each gaussian.
+    view = camera.view_matrix()
+    cam_pos = -view[:3, :3].T @ view[:3, 3]
+    dirs = means - cam_pos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)  # [N, 3]
+
+    # Blend order: depth ascending, invalid last (argsort is stable: ties
+    # keep gaussian-id order, matching the tiled path's sort).
+    depth_key = jnp.where(splats.mask, splats.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    xy = splats.xy[order]
+    conic = splats.conic[order]
+    rgb = rgb[order]
+    a = opacity[order] * splats.mask[order]
+
+    # Pixel centers.
+    ys, xs = jnp.mgrid[0:h, 0:w_px]
+    px = (xs + 0.5).astype(jnp.float32).reshape(-1)  # [P]
+    py = (ys + 0.5).astype(jnp.float32).reshape(-1)
+
+    dx = px[None, :] - xy[:, 0:1]  # [N, P]
+    dy = py[None, :] - xy[:, 1:2]
+    q = (
+        conic[:, 0:1] * dx * dx
+        + 2.0 * conic[:, 1:2] * dx * dy
+        + conic[:, 2:3] * dy * dy
+    )
+    alpha = jnp.minimum(a[:, None] * jnp.exp(-0.5 * q), ALPHA_CLAMP)
+    alpha = jnp.where(
+        (q <= RADIUS_CUTOFF * RADIUS_CUTOFF) & (alpha >= ALPHA_MIN), alpha, 0.0
+    )
+
+    w, t_final = blend_weights(alpha)
+    color = jnp.einsum("np,nc->pc", w, rgb)  # [P, 3]
+    bg = jnp.asarray(background, jnp.float32)
+    img = color + t_final[:, None] * bg
+    return img.reshape(h, w_px, 3)

@@ -1,0 +1,194 @@
+"""The full differentiable renderer: projection -> binning -> tiles -> image.
+
+Renderer extension (SURVEY.md §7 M4/M5). ``render`` is the low-level
+array-in/image-out function (jittable, differentiable w.r.t. every gaussian
+parameter); ``render_gaussians`` is the high-level entry taking a
+:class:`GaussiansBuffer`/packed layout plus the reference-style
+GaussianTransform/ModelTransform knobs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..buffer import GaussiansBuffer, GaussianTransform, ModelTransform
+from ..layouts import Cov3dFormat, PackedGaussians
+from ..ops.binning import (
+    bin_splats,
+    build_work_schedule,
+    default_max_fragments,
+    num_tiles,
+)
+from ..ops.projection import project
+from ..ops.rasterize import NUM_ATTRS, rasterize_tiles, tiles_to_image
+from ..ops.sh import gaussian_color
+from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
+from .camera import Camera
+
+DEFAULT_CHUNK = 256
+
+
+class RenderResult(NamedTuple):
+    image: jnp.ndarray  # [H, W, 3] f32
+    transmittance: jnp.ndarray  # [H, W] f32 final T per pixel
+    overflow: jnp.ndarray  # scalar bool: fragment capacity exceeded
+
+
+def render(
+    means: jnp.ndarray,
+    cov3d_sigma6: jnp.ndarray,
+    base_color: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    sh: Optional[jnp.ndarray] = None,
+    sh_deg: int = 0,
+    no_sh0: bool = False,
+    background: tuple = (0.0, 0.0, 0.0),
+    model_transform: Optional[tuple] = None,
+    max_fragments: Optional[int] = None,
+    chunk: int = DEFAULT_CHUNK,
+) -> RenderResult:
+    """Differentiable tiled render to [H, W, 3].
+
+    ``means`` [N,3], ``cov3d_sigma6`` [N,6], ``base_color`` [N,3] in [0,1],
+    ``opacity`` [N] in [0,1], optional ``sh`` [N,15,3].
+    """
+    h, w_px = camera.height, camera.width
+    tiles_x, tiles_y = num_tiles(w_px, h)
+    t_total = tiles_x * tiles_y
+    n = means.shape[0]
+
+    if max_fragments is None:
+        max_fragments = default_max_fragments(n, tiles_x, tiles_y)
+    # Stream capacity must be whole chunks.
+    f_cap = -(-max_fragments // chunk) * chunk
+    n_blocks = f_cap // chunk
+    w_cap = n_blocks + t_total
+
+    splats = project(means, cov3d_sigma6, camera, model_transform)
+
+    view = camera.view_matrix()
+    cam_pos = -view[:3, :3].T @ view[:3, 3]
+    dirs = means - cam_pos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)
+
+    stream = bin_splats(
+        splats.xy, splats.radius, splats.depth, splats.mask,
+        tiles_x, tiles_y, f_cap,
+    )
+    sched = build_work_schedule(stream, chunk, w_cap, n_blocks)
+    work_new = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (sched.block[1:] != sched.block[:-1]).astype(jnp.int32),
+        ]
+    )
+
+    # Differentiable gather into the attribute-major fragment stream.
+    gid = stream.gauss_id
+    opac = opacity * splats.mask  # culled gaussians contribute nothing
+    rows = jnp.stack(
+        [
+            splats.xy[gid, 0],
+            splats.xy[gid, 1],
+            splats.conic[gid, 0],
+            splats.conic[gid, 1],
+            splats.conic[gid, 2],
+            rgb[gid, 0],
+            rgb[gid, 1],
+            rgb[gid, 2],
+            opac[gid],
+        ]
+    )
+    # Padding slots gather gaussian n-1 (clamped index) and their backward
+    # blocks may never be visited by the work schedule, leaving
+    # uninitialized (possibly NaN) cotangents. jnp.where's transpose is a
+    # select, so padding cotangents are dropped outright (a multiply would
+    # keep NaN: 0 * NaN = NaN) before they scatter-add into gradients.
+    frag_valid = jnp.arange(f_cap, dtype=jnp.int32) < stream.num_fragments
+    rows = jnp.where(frag_valid[None, :], rows, 0.0)
+    frag_attrs = jnp.concatenate(
+        [rows, jnp.zeros((NUM_ATTRS - rows.shape[0], f_cap), rows.dtype)]
+    )
+
+    tiles = rasterize_tiles(
+        frag_attrs,
+        sched.tile,
+        sched.block,
+        sched.first,
+        sched.last,
+        sched.valid,
+        work_new,
+        stream.tile_start,
+        stream.tile_end,
+        chunk,
+        tiles_x,
+        t_total,
+        tuple(background),
+    )
+    img = tiles_to_image(tiles, tiles_x, tiles_y, w_px, h)
+    return RenderResult(
+        image=img[..., 0:3],
+        transmittance=img[..., 3],
+        overflow=stream.overflow,
+    )
+
+
+def render_gaussians(
+    gaussians: Any,
+    camera: Camera,
+    transform: GaussianTransform = GaussianTransform(),
+    model_transform: Optional[ModelTransform] = None,
+    background: tuple = (0.0, 0.0, 0.0),
+    **kw,
+) -> RenderResult:
+    """High-level render of a :class:`GaussiansBuffer` / packed layout.
+
+    Consumes the packed layout directly via the device unpack library —
+    the analog of a downstream WESL shader importing gaussian_unpack_*
+    (reference: src/shader/gaussian.wesl) — honoring the reference's
+    GaussianTransform knobs (sh_deg, no_sh0).
+    """
+    if isinstance(gaussians, GaussiansBuffer):
+        packed = gaussians.data
+    elif isinstance(gaussians, PackedGaussians):
+        packed = gaussians
+    else:
+        raise TypeError(
+            "render_gaussians expects a GaussiansBuffer or PackedGaussians; "
+            "convert a GaussianSoA with GaussiansBuffer.new first"
+        )
+
+    layout = packed.layout
+    n = len(packed)
+    cov3d6 = unpack_cov3d(
+        jnp.asarray(packed.cov3d, jnp.float32)
+        if layout.cov3d != Cov3dFormat.HALF
+        else jnp.asarray(packed.cov3d),
+        rot_scale=layout.cov3d == Cov3dFormat.ROT_SCALE,
+    )
+    color = unpack_color(jnp.asarray(packed.color))
+    sh = unpack_sh(
+        None if packed.sh is None else jnp.asarray(packed.sh), n
+    )
+
+    mt = None
+    if model_transform is not None:
+        mt = model_transform.as_arrays()
+
+    return render(
+        means=jnp.asarray(packed.pos),
+        cov3d_sigma6=cov3d6,
+        base_color=color[:, 0:3],
+        opacity=color[:, 3],
+        camera=camera,
+        sh=None if packed.sh is None else sh,
+        sh_deg=transform.sh_deg,
+        no_sh0=transform.no_sh0,
+        background=background,
+        model_transform=mt,
+        **kw,
+    )

@@ -53,16 +53,23 @@ def num_tiles(width: int, height: int) -> tuple[int, int]:
 
 
 def tile_bounds(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
-                tiles_y: int) -> tuple:
-    """Per-gaussian tile bbox [x0, x1) x [y0, y1), clamped to the grid."""
+                tiles_y: int, tile_y_offset=0) -> tuple:
+    """Per-gaussian tile bbox [x0, x1) x [y0, y1), clamped to the grid.
+
+    ``tile_y_offset`` shifts into a local window of ``tiles_y`` tile rows
+    starting at that global row — used by the sharded renderer, where each
+    device rasterizes a horizontal strip (may be a traced device index).
+    """
     x0 = jnp.clip(((xy[:, 0] - radius) / TILE_SIZE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(((xy[:, 1] - radius) / TILE_SIZE), 0, tiles_y).astype(jnp.int32)
     x1 = jnp.clip(
         ((xy[:, 0] + radius + TILE_SIZE - 1) / TILE_SIZE), 0, tiles_x
     ).astype(jnp.int32)
-    y1 = jnp.clip(
-        ((xy[:, 1] + radius + TILE_SIZE - 1) / TILE_SIZE), 0, tiles_y
+    y0g = jnp.floor((xy[:, 1] - radius) / TILE_SIZE).astype(jnp.int32)
+    y1g = jnp.floor(
+        (xy[:, 1] + radius + TILE_SIZE - 1) / TILE_SIZE
     ).astype(jnp.int32)
+    y0 = jnp.clip(y0g - tile_y_offset, 0, tiles_y)
+    y1 = jnp.clip(y1g - tile_y_offset, 0, tiles_y)
     return x0, y0, x1, y1
 
 
@@ -74,11 +81,16 @@ def bin_splats(
     tiles_x: int,
     tiles_y: int,
     max_fragments: int,
+    tile_y_offset=0,
 ) -> FragmentStream:
-    """Expand gaussians into a (tile, depth)-sorted fragment stream."""
+    """Expand gaussians into a (tile, depth)-sorted fragment stream.
+
+    With ``tile_y_offset``, bins only the ``tiles_y``-row strip starting at
+    that global tile row (local tile ids), for strip-parallel rendering.
+    """
     n = xy.shape[0]
     t_total = tiles_x * tiles_y
-    x0, y0, x1, y1 = tile_bounds(xy, radius, tiles_x, tiles_y)
+    x0, y0, x1, y1 = tile_bounds(xy, radius, tiles_x, tiles_y, tile_y_offset)
     span_x = jnp.maximum(x1 - x0, 0)
     span_y = jnp.maximum(y1 - y0, 0)
     counts = jnp.where(mask & (radius > 0), span_x * span_y, 0)

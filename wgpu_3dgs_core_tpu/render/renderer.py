@@ -75,9 +75,33 @@ def render(
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
     rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)
 
+    tiles, overflow = rasterize_splats(
+        splats.xy, splats.depth, splats.conic, splats.radius, splats.mask,
+        rgb, opacity, tiles_x, tiles_y, f_cap, chunk, tuple(background),
+    )
+    img = tiles_to_image(tiles, tiles_x, tiles_y, w_px, h)
+    return RenderResult(
+        image=img[..., 0:3],
+        transmittance=img[..., 3],
+        overflow=overflow,
+    )
+
+
+def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
+                     tiles_x: int, tiles_y: int, f_cap: int, chunk: int,
+                     background: tuple, tile_y_offset=0):
+    """Projected splats -> [tiles_x*tiles_y, 256, 4] tile blocks.
+
+    The shared middle of the pipeline (binning + gather + Pallas kernel),
+    reused by the single-device and strip-sharded renderers.
+    ``tile_y_offset`` selects a horizontal strip of the global tile grid.
+    """
+    t_total = tiles_x * tiles_y
+    n_blocks = f_cap // chunk
+    w_cap = n_blocks + t_total
+
     stream = bin_splats(
-        splats.xy, splats.radius, splats.depth, splats.mask,
-        tiles_x, tiles_y, f_cap,
+        xy, radius, depth, mask, tiles_x, tiles_y, f_cap, tile_y_offset
     )
     sched = build_work_schedule(stream, chunk, w_cap, n_blocks)
     work_new = jnp.concatenate(
@@ -89,14 +113,14 @@ def render(
 
     # Differentiable gather into the attribute-major fragment stream.
     gid = stream.gauss_id
-    opac = opacity * splats.mask  # culled gaussians contribute nothing
+    opac = opacity * mask  # culled gaussians contribute nothing
     rows = jnp.stack(
         [
-            splats.xy[gid, 0],
-            splats.xy[gid, 1],
-            splats.conic[gid, 0],
-            splats.conic[gid, 1],
-            splats.conic[gid, 2],
+            xy[gid, 0],
+            xy[gid, 1],
+            conic[gid, 0],
+            conic[gid, 1],
+            conic[gid, 2],
             rgb[gid, 0],
             rgb[gid, 1],
             rgb[gid, 2],
@@ -129,12 +153,7 @@ def render(
         t_total,
         tuple(background),
     )
-    img = tiles_to_image(tiles, tiles_x, tiles_y, w_px, h)
-    return RenderResult(
-        image=img[..., 0:3],
-        transmittance=img[..., 3],
-        overflow=stream.overflow,
-    )
+    return tiles, stream.overflow
 
 
 def render_gaussians(

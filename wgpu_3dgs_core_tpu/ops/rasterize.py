@@ -85,7 +85,7 @@ def _tri(chunk, strict):
 
 
 def _fwd_kernel(
-    wt_ref, wb_ref, wfirst_ref, wlast_ref, wvalid_ref, tstart_ref, tend_ref,  # prefetch
+    winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
     frag_ref,  # (NUM_ATTRS, chunk) VMEM
     out_ref,  # (1, PIX, 4) VMEM
     state_ref,  # (PIX, 8) VMEM scratch: cols 0-2 acc rgb, col 3 T
@@ -95,19 +95,22 @@ def _fwd_kernel(
     bg: tuple,
 ):
     w = pl.program_id(0)
-    t = wt_ref[w]
+    info = winfo_ref[w]
+    t = info & WORK_TILE_MASK
+    first = (info >> WORK_FIRST_BIT) & 1
+    last = (info >> WORK_LAST_BIT) & 1
+    valid = (info >> WORK_VALID_BIT) & 1
     blk = wb_ref[w]
     ts = tstart_ref[t]
     te = tend_ref[t]
 
-    @pl.when(wfirst_ref[w] == 1)
+    @pl.when(first == 1)
     def _():
         state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
         state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
 
     alpha, _, _, _, _, _, _ = _chunk_alphas(
-        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk,
-        wvalid_ref[w],
+        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
     )
 
     log1m = jnp.log1p(-alpha)
@@ -129,7 +132,7 @@ def _fwd_kernel(
         jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
     )
 
-    @pl.when(wlast_ref[w] == 1)
+    @pl.when(last == 1)
     def _():
         t_f = state_ref[:, 3:4]
         for ch in range(3):
@@ -140,8 +143,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    wt_ref, wb_ref, wfirst_ref, wlast_ref, wvalid_ref, wnew_ref, tstart_ref,
-    tend_ref,
+    winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
     frag_ref,  # (NUM_ATTRS, chunk)
     fwd_ref,  # (1, PIX, 4): forward output tile (color+bg, T_final)
     g_ref,  # (1, PIX, 4): cotangent of the forward output tile
@@ -153,23 +155,26 @@ def _bwd_kernel(
     bg: tuple,
 ):
     w = pl.program_id(0)
-    t = wt_ref[w]
+    info = winfo_ref[w]
+    t = info & WORK_TILE_MASK
+    first = (info >> WORK_FIRST_BIT) & 1
+    valid = (info >> WORK_VALID_BIT) & 1
+    new_blk = (info >> WORK_NEW_BLOCK_BIT) & 1
     blk = wb_ref[w]
     ts = tstart_ref[t]
     te = tend_ref[t]
 
-    @pl.when(wnew_ref[w] == 1)
+    @pl.when(new_blk == 1)
     def _():
         dfrag_ref[...] = jnp.zeros((NUM_ATTRS, chunk), jnp.float32)
 
-    @pl.when(wfirst_ref[w] == 1)
+    @pl.when(first == 1)
     def _():
         state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
         state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
 
     alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
-        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk,
-        wvalid_ref[w],
+        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
     )
     c0 = frag_ref[2:3, :]
     c1 = frag_ref[3:4, :]
@@ -242,15 +247,31 @@ def _bwd_kernel(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+# Work-item info packing: SMEM is ~1 MB/core, and at 1M-gaussian/1080p
+# scale six separate int32 prefetch arrays exceed it — tile id and the
+# four flags share one int32 per work item instead.
+WORK_TILE_MASK = (1 << 24) - 1
+WORK_FIRST_BIT = 24
+WORK_LAST_BIT = 25
+WORK_VALID_BIT = 26
+WORK_NEW_BLOCK_BIT = 27
+
+
+def pack_work_info(tile, first, last, valid, new_block):
+    return (
+        tile
+        | (first << WORK_FIRST_BIT)
+        | (last << WORK_LAST_BIT)
+        | (valid << WORK_VALID_BIT)
+        | (new_block << WORK_NEW_BLOCK_BIT)
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def rasterize_tiles(
     frag_attrs,  # [NUM_ATTRS, F_pad] f32, differentiable
-    work_tile,  # [W] int32
-    work_block,  # [W] int32
-    work_first,  # [W] int32
-    work_last,  # [W] int32
-    work_valid,  # [W] int32 (0 = padding item, fully inert)
-    work_new_block,  # [W] int32 (bwd only; 1 when block differs from prev)
+    work_info,  # [W] int32, pack_work_info(tile, first, last, valid, new)
+    work_block,  # [W] int32 fragment-block index
     tile_start,  # [T] int32
     tile_end,  # [T] int32
     chunk: int,
@@ -264,26 +285,26 @@ def rasterize_tiles(
     transmittance.
     """
     return _rasterize_fwd_call(
-        frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
-        tile_start, tile_end, chunk, tiles_x, n_tiles, bg,
+        frag_attrs, work_info, work_block, tile_start, tile_end,
+        chunk, tiles_x, n_tiles, bg,
     )
 
 
-def _rasterize_fwd_call(frag_attrs, work_tile, work_block, work_first,
-                        work_last, work_valid, tile_start, tile_end, chunk,
-                        tiles_x, n_tiles, bg):
-    n_work = work_tile.shape[0]
+def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
+                        tile_end, chunk, tiles_x, n_tiles, bg):
+    n_work = work_info.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=4,
         grid=(n_work,),
         in_specs=[
             pl.BlockSpec(
                 (NUM_ATTRS, chunk),
-                lambda w, wt, wb, wf, wl, wv, ts, te: (0, wb[w]),
+                lambda w, wi, wb, ts, te: (0, wb[w]),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PIX, 4), lambda w, wt, wb, wf, wl, wv, ts, te: (wt[w], 0, 0)
+            (1, PIX, 4),
+            lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
         ),
         scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
     )
@@ -292,50 +313,42 @@ def _rasterize_fwd_call(frag_attrs, work_tile, work_block, work_first,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, PIX, 4), jnp.float32),
         interpret=interpret_mode(),
-    )(
-        work_tile, work_block, work_first, work_last, work_valid,
-        tile_start, tile_end, frag_attrs,
-    )
+    )(work_info, work_block, tile_start, tile_end, frag_attrs)
 
 
-def _rasterize_fwd(frag_attrs, work_tile, work_block, work_first, work_last,
-                   work_valid, work_new_block, tile_start, tile_end, chunk,
-                   tiles_x, n_tiles, bg):
+def _rasterize_fwd(frag_attrs, work_info, work_block, tile_start, tile_end,
+                   chunk, tiles_x, n_tiles, bg):
     out = _rasterize_fwd_call(
-        frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
-        tile_start, tile_end, chunk, tiles_x, n_tiles, bg,
+        frag_attrs, work_info, work_block, tile_start, tile_end,
+        chunk, tiles_x, n_tiles, bg,
     )
-    residuals = (
-        frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
-        work_new_block, tile_start, tile_end, out,
-    )
+    residuals = (frag_attrs, work_info, work_block, tile_start, tile_end, out)
     return out, residuals
 
 
 def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
-    (frag_attrs, work_tile, work_block, work_first, work_last, work_valid,
-     work_new_block, tile_start, tile_end, out) = residuals
-    n_work = work_tile.shape[0]
+    frag_attrs, work_info, work_block, tile_start, tile_end, out = residuals
+    n_work = work_info.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=4,
         grid=(n_work,),
         in_specs=[
             pl.BlockSpec(
                 (NUM_ATTRS, chunk),
-                lambda w, wt, wb, wf, wl, wv, wn, ts, te: (0, wb[w]),
+                lambda w, wi, wb, ts, te: (0, wb[w]),
             ),
             pl.BlockSpec(
                 (1, PIX, 4),
-                lambda w, wt, wb, wf, wl, wv, wn, ts, te: (wt[w], 0, 0),
+                lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
             ),
             pl.BlockSpec(
                 (1, PIX, 4),
-                lambda w, wt, wb, wf, wl, wv, wn, ts, te: (wt[w], 0, 0),
+                lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
             (NUM_ATTRS, chunk),
-            lambda w, wt, wb, wf, wl, wv, wn, ts, te: (0, wb[w]),
+            lambda w, wi, wb, ts, te: (0, wb[w]),
         ),
         scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
     )
@@ -344,11 +357,8 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(frag_attrs.shape, jnp.float32),
         interpret=interpret_mode(),
-    )(
-        work_tile, work_block, work_first, work_last, work_valid,
-        work_new_block, tile_start, tile_end, frag_attrs, out, g_out,
-    )
-    return (dfrag, None, None, None, None, None, None, None, None)
+    )(work_info, work_block, tile_start, tile_end, frag_attrs, out, g_out)
+    return (dfrag, None, None, None, None)
 
 
 rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)

@@ -22,7 +22,12 @@ from ..ops.binning import (
     num_tiles,
 )
 from ..ops.projection import project
-from ..ops.rasterize import NUM_ATTRS, rasterize_tiles, tiles_to_image
+from ..ops.rasterize import (
+    NUM_ATTRS,
+    pack_work_info,
+    rasterize_tiles,
+    tiles_to_image,
+)
 from ..ops.sh import gaussian_color
 from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
 from .camera import Camera
@@ -138,14 +143,13 @@ def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
         [rows, jnp.zeros((NUM_ATTRS - rows.shape[0], f_cap), rows.dtype)]
     )
 
+    work_info = pack_work_info(
+        sched.tile, sched.first, sched.last, sched.valid, work_new
+    )
     tiles = rasterize_tiles(
         frag_attrs,
-        sched.tile,
+        work_info,
         sched.block,
-        sched.first,
-        sched.last,
-        sched.valid,
-        work_new,
         stream.tile_start,
         stream.tile_end,
         chunk,

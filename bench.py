@@ -83,20 +83,23 @@ def main():
         )(means, cov6, color, opac, sh)
         return loss, overflow, grads
 
-    # Compile + warmup.
+    # Compile + warmup. Sync via device-to-host materialization: on some
+    # remote platforms block_until_ready returns before execution finishes.
+    def sync(x):
+        return float(np.asarray(x))
+
     loss, overflow, grads = step(*scene)
-    loss.block_until_ready()
-    if bool(overflow):
+    if bool(np.asarray(overflow)):
         print("WARNING: fragment capacity overflow; raise --max-fragments",
               file=sys.stderr)
     for _ in range(args.warmup - 1):
         loss, overflow, grads = step(*scene)
-        loss.block_until_ready()
+    sync(loss)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         loss, overflow, grads = step(*scene)
-    jax.tree.map(lambda x: x.block_until_ready(), grads)
+    sync(loss)  # programs execute in order; waiting on the last waits on all
     dt = (time.perf_counter() - t0) / args.iters
 
     mpix_s = args.width * args.height / dt / 1e6

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 TILE_SIZE = 16
@@ -90,6 +91,18 @@ def bin_splats(
     """
     n = xy.shape[0]
     t_total = tiles_x * tiles_y
+
+    # Depth-sort the GAUSSIANS first (N elements, not fragments): expanding
+    # fragments from depth-ordered gaussians leaves the slots pre-sorted by
+    # depth, so one stable tile sort of the (much larger) fragment stream
+    # yields (tile, depth, id) order — halving the N*overlap-sized sorts.
+    depth_order = jnp.argsort(
+        jnp.where(mask, depth, jnp.inf), stable=True
+    ).astype(jnp.int32)
+    xy = xy[depth_order]
+    radius = radius[depth_order]
+    mask = mask[depth_order]
+
     x0, y0, x1, y1 = tile_bounds(xy, radius, tiles_x, tiles_y, tile_y_offset)
     span_x = jnp.maximum(x1 - x0, 0)
     span_y = jnp.maximum(y1 - y0, 0)
@@ -99,26 +112,36 @@ def bin_splats(
     total = offsets[-1] + counts[-1] if n else jnp.int32(0)
     overflow = total > max_fragments
 
+    # Owner gaussian of each slot. A searchsorted(offsets, slots) costs
+    # ~1.5 s at 8M fragments on TPU; scattering each non-empty gaussian's
+    # index at its segment start (non-empty starts are distinct) and
+    # running-maxing forward is equivalent and much cheaper.
     slot = jnp.arange(max_fragments, dtype=jnp.int32)
-    # Owner gaussian of each slot: last g with offsets[g] <= slot.
-    g = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, max(n - 1, 0))
-    rank = slot - offsets[g]
-    w = jnp.maximum(span_x[g], 1)
+    start_idx = jnp.where(counts > 0, offsets, max_fragments)  # OOB -> drop
+    starts = jnp.zeros(max_fragments, jnp.int32).at[start_idx].max(
+        jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop"
+    )
+    g = jnp.clip(
+        jax.lax.associative_scan(jnp.maximum, starts) - 1, 0, max(n - 1, 0)
+    )
+
+    # One fused row gather instead of five scalar gathers by the same index.
+    seg_table = jnp.stack(
+        [offsets, jnp.maximum(span_x, 1), x0, y0, depth_order], axis=1
+    )
+    seg = seg_table[g]
+    rank = slot - seg[:, 0]
+    w = seg[:, 1]
     dx = rank % w
     dy = rank // w
-    tile = (y0[g] + dy) * tiles_x + (x0[g] + dx)
+    tile = (seg[:, 3] + dy) * tiles_x + (seg[:, 2] + dx)
     valid = slot < total
     tile = jnp.where(valid, tile, t_total).astype(jnp.int32)
 
-    # Sort by (tile, depth, id): two stable sorts. Slots start in id order.
-    d = jnp.where(valid, depth[g], jnp.inf)
-    order1 = jnp.argsort(d, stable=True)
-    tile1 = tile[order1]
-    g1 = g[order1]
-    order2 = jnp.argsort(tile1, stable=True)
-    tile_sorted = tile1[order2]
-    gauss_id = g1[order2].astype(jnp.int32)
+    # Single stable sort carrying the original gaussian id as payload.
+    tile_sorted, gauss_id = jax.lax.sort(
+        (tile, seg[:, 4].astype(jnp.int32)), num_keys=1, is_stable=True
+    )
 
     tile_ids = jnp.arange(t_total, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(

@@ -10,7 +10,11 @@ through a fixed (tile, chunk) work schedule:
 - fragment attributes are stored attribute-major [16, F_pad] so a chunk is
   a (16, chunk) block: attribute rows broadcast against the 256 tile pixels
   held on the other axis — [256 pixels, chunk frags] VPU math with no
-  in-kernel transposes (Mosaic dislikes lane-stacking; see repo history).
+  per-chunk transposes.
+- tile pixel blocks are stored [T, 4, 256] — channels on sublanes, pixels
+  on lanes. A trailing dim of 4 would be padded to 128 lanes by Mosaic,
+  inflating kernel HBM traffic ~32x (measured: ~1 GB/pass at 1080p); the
+  one [256, 4] transpose per tile flush is noise by comparison.
 - the front-to-back transmittance recurrence is computed per chunk as
   exp(cumsum(log1p(-alpha))) with the exclusive cumsum done as one
   [256, K] x [K, K] strict-lower-triangular matmul on the MXU.
@@ -28,7 +32,6 @@ Attribute rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:r 6:g 7:b
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +48,25 @@ ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
 Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
+
+# Work-item info packing: SMEM is ~1 MB/core, and at 1M-gaussian/1080p
+# scale six separate int32 prefetch arrays exceed it — tile id and the
+# four flags share one int32 per work item instead.
+WORK_TILE_MASK = (1 << 24) - 1
+WORK_FIRST_BIT = 24
+WORK_LAST_BIT = 25
+WORK_VALID_BIT = 26
+WORK_NEW_BLOCK_BIT = 27
+
+
+def pack_work_info(tile, first, last, valid, new_block):
+    return (
+        tile
+        | (first << WORK_FIRST_BIT)
+        | (last << WORK_LAST_BIT)
+        | (valid << WORK_VALID_BIT)
+        | (new_block << WORK_NEW_BLOCK_BIT)
+    ).astype(jnp.int32)
 
 
 def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid):
@@ -87,7 +109,7 @@ def _tri(chunk, strict):
 def _fwd_kernel(
     winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
     frag_ref,  # (NUM_ATTRS, chunk) VMEM
-    out_ref,  # (1, PIX, 4) VMEM
+    out_ref,  # (1, 4, PIX) VMEM: channel rows x pixel lanes
     state_ref,  # (PIX, 8) VMEM scratch: cols 0-2 acc rgb, col 3 T
     *,
     chunk: int,
@@ -135,20 +157,22 @@ def _fwd_kernel(
     @pl.when(last == 1)
     def _():
         t_f = state_ref[:, 3:4]
-        for ch in range(3):
-            out_ref[0, :, ch : ch + 1] = (
-                state_ref[:, ch : ch + 1] + t_f * float(bg[ch])
-            )
-        out_ref[0, :, 3:4] = t_f
+        cols = [
+            state_ref[:, ch : ch + 1] + t_f * float(bg[ch])
+            for ch in range(3)
+        ]
+        final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
+        out_ref[0] = final.T  # one [256, 4] transpose per tile flush
 
 
 def _bwd_kernel(
     winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
     frag_ref,  # (NUM_ATTRS, chunk)
-    fwd_ref,  # (1, PIX, 4): forward output tile (color+bg, T_final)
-    g_ref,  # (1, PIX, 4): cotangent of the forward output tile
+    fwd_ref,  # (1, 4, PIX): forward output tile (color+bg rows, T row)
+    g_ref,  # (1, 4, PIX): cotangent of the forward output tile
     dfrag_ref,  # out (NUM_ATTRS, chunk), accumulated across revisits
-    state_ref,  # (PIX, 8) scratch: cols 0-2 prefix A rgb, col 3 T
+    state_ref,  # (PIX, 16) scratch: 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
+    #             6-8 g_rgb, 9-11 c_blend (per-pixel columns)
     *,
     chunk: int,
     tiles_x: int,
@@ -170,8 +194,24 @@ def _bwd_kernel(
 
     @pl.when(first == 1)
     def _():
-        state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
+        state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
         state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+        # Transpose the per-tile outputs/cotangents into pixel-column
+        # layout once per tile instead of once per chunk.
+        fwd_t = fwd_ref[0].T  # [PIX, 4]
+        g_t = g_ref[0].T  # [PIX, 4]
+        t_f = fwd_t[:, 3:4]
+        state_ref[:, 4:5] = t_f
+        state_ref[:, 5:6] = g_t[:, 3:4] + (
+            g_t[:, 0:1] * float(bg[0])
+            + g_t[:, 1:2] * float(bg[1])
+            + g_t[:, 2:3] * float(bg[2])
+        )
+        state_ref[:, 6:9] = g_t[:, 0:3]
+        for ch in range(3):
+            state_ref[:, 9 + ch : 10 + ch] = (
+                fwd_t[:, ch : ch + 1] - t_f * float(bg[ch])
+            )
 
     alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
         frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
@@ -191,26 +231,21 @@ def _bwd_kernel(
     blend = t_i > T_MIN
     wgt = jnp.where(blend, alpha * t_i, 0.0)
 
-    t_f = fwd_ref[0, :, 3:4]  # [PIX, 1]
-    g_t_total = g_ref[0, :, 3:4] + (
-        g_ref[0, :, 0:1] * float(bg[0])
-        + g_ref[0, :, 1:2] * float(bg[1])
-        + g_ref[0, :, 2:3] * float(bg[2])
-    )
+    t_f = state_ref[:, 4:5]
+    g_t_total = state_ref[:, 5:6]
 
     # dL/dalpha_i = sum_ch g_ch (T_i c_ich - S_ich/(1-a_i))
     #              - gT_total * T_f/(1-a_i),   S_i = C_blend - A_i(incl)
     one_minus = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
     dalpha = -g_t_total * t_f / one_minus  # [PIX, K]
     for ch in range(3):
-        g_ch = g_ref[0, :, ch : ch + 1]  # [PIX, 1]
+        g_ch = state_ref[:, 6 + ch : 7 + ch]  # [PIX, 1]
         c_ch = rgb_rows[ch]  # [1, K]
         wc = wgt * c_ch
         a_incl = state_ref[:, ch : ch + 1] + jnp.dot(
             wc, tri_incl, preferred_element_type=jnp.float32
         )
-        c_blend = fwd_ref[0, :, ch : ch + 1] - t_f * float(bg[ch])
-        s_i = c_blend - a_incl
+        s_i = state_ref[:, 9 + ch : 10 + ch] - a_incl
         dalpha += g_ch * (t_i * c_ch - s_i / one_minus)
         # color gradient: dL/dc_ich = g_ch * w_i, summed over pixels
         dfrag_ref[5 + ch : 6 + ch, :] += jnp.sum(
@@ -247,26 +282,6 @@ def _bwd_kernel(
     )
 
 
-# Work-item info packing: SMEM is ~1 MB/core, and at 1M-gaussian/1080p
-# scale six separate int32 prefetch arrays exceed it — tile id and the
-# four flags share one int32 per work item instead.
-WORK_TILE_MASK = (1 << 24) - 1
-WORK_FIRST_BIT = 24
-WORK_LAST_BIT = 25
-WORK_VALID_BIT = 26
-WORK_NEW_BLOCK_BIT = 27
-
-
-def pack_work_info(tile, first, last, valid, new_block):
-    return (
-        tile
-        | (first << WORK_FIRST_BIT)
-        | (last << WORK_LAST_BIT)
-        | (valid << WORK_VALID_BIT)
-        | (new_block << WORK_NEW_BLOCK_BIT)
-    ).astype(jnp.int32)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def rasterize_tiles(
     frag_attrs,  # [NUM_ATTRS, F_pad] f32, differentiable
@@ -281,8 +296,8 @@ def rasterize_tiles(
 ):
     """Rasterize the fragment stream into per-tile pixel blocks.
 
-    Returns [n_tiles, 256, 4] f32: RGB (background composited) + final
-    transmittance.
+    Returns [n_tiles, 4, 256] f32: RGB rows (background composited) +
+    final-transmittance row, pixels on the last axis.
     """
     return _rasterize_fwd_call(
         frag_attrs, work_info, work_block, tile_start, tile_end,
@@ -303,7 +318,7 @@ def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PIX, 4),
+            (1, 4, PIX),
             lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
         ),
         scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
@@ -311,7 +326,7 @@ def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PIX), jnp.float32),
         interpret=interpret_mode(),
     )(work_info, work_block, tile_start, tile_end, frag_attrs)
 
@@ -338,11 +353,11 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
                 lambda w, wi, wb, ts, te: (0, wb[w]),
             ),
             pl.BlockSpec(
-                (1, PIX, 4),
+                (1, 4, PIX),
                 lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
             ),
             pl.BlockSpec(
-                (1, PIX, 4),
+                (1, 4, PIX),
                 lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
             ),
         ],
@@ -350,7 +365,7 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
             (NUM_ATTRS, chunk),
             lambda w, wi, wb, ts, te: (0, wb[w]),
         ),
-        scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((PIX, 16), jnp.float32)],
     )
     dfrag = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg),
@@ -366,10 +381,10 @@ rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 def tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int,
                    width: int, height: int) -> jnp.ndarray:
-    """[T, 256, C] tile blocks -> [height, width, C] image crop."""
-    c = tiles.shape[-1]
-    img = tiles.reshape(tiles_y, tiles_x, TILE_SIZE, TILE_SIZE, c)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
+    """[T, C, 256] tile blocks -> [height, width, C] image crop."""
+    c = tiles.shape[1]
+    img = tiles.reshape(tiles_y, tiles_x, c, TILE_SIZE, TILE_SIZE)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
         tiles_y * TILE_SIZE, tiles_x * TILE_SIZE, c
     )
     return img[:height, :width]

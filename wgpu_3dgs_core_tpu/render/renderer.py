@@ -116,22 +116,15 @@ def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
         ]
     )
 
-    # Differentiable gather into the attribute-major fragment stream.
+    # Differentiable gather into the attribute-major fragment stream: one
+    # fused row gather of a per-gaussian attribute table (nine separate
+    # scalar gathers at fragment scale are several times slower on TPU).
     gid = stream.gauss_id
     opac = opacity * mask  # culled gaussians contribute nothing
-    rows = jnp.stack(
-        [
-            xy[gid, 0],
-            xy[gid, 1],
-            conic[gid, 0],
-            conic[gid, 1],
-            conic[gid, 2],
-            rgb[gid, 0],
-            rgb[gid, 1],
-            rgb[gid, 2],
-            opac[gid],
-        ]
-    )
+    attr_table = jnp.concatenate(
+        [xy, conic, rgb, opac[:, None]], axis=1
+    )  # [N, 9]
+    rows = attr_table[gid].T  # [9, F]
     # Padding slots gather gaussian n-1 (clamped index) and their backward
     # blocks may never be visited by the work schedule, leaving
     # uninitialized (possibly NaN) cotangents. jnp.where's transpose is a

@@ -1,0 +1,111 @@
+"""Native C++ codec vs numpy bit-exactness (csrc/spz_codec.cpp)."""
+
+import numpy as np
+import pytest
+
+from wgpu_3dgs_core_tpu.models import spz as spz_mod
+from wgpu_3dgs_core_tpu.models.spz import SpzHeader
+from wgpu_3dgs_core_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec library not built"
+)
+
+N = 50_000  # above MIN_NATIVE_N so the native path engages
+
+
+@pytest.fixture
+def numpy_only(monkeypatch):
+    """Force the numpy fallback inside spz codecs."""
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+
+
+def _rng():
+    return np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_positions_roundtrip_exact(version, monkeypatch):
+    header = SpzHeader(version=version, num_points=N, sh_degree=0,
+                       fractional_bits=12)
+    pos = (_rng().random((N, 3), dtype=np.float32) * 100 - 50)
+
+    enc_native = spz_mod.encode_positions(pos, header)
+    dec_native = spz_mod.decode_positions(enc_native, header)
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+    enc_numpy = spz_mod.encode_positions(pos, header)
+    dec_numpy = spz_mod.decode_positions(enc_numpy, header)
+
+    np.testing.assert_array_equal(enc_native, enc_numpy)
+    np.testing.assert_array_equal(dec_native, dec_numpy)
+
+
+def test_scales_exact(monkeypatch):
+    scale = (_rng().random((N, 3), dtype=np.float32) * 5 + 1e-3)
+    enc_n = spz_mod.encode_scales(scale)
+    dec_n = spz_mod.decode_scales(enc_n)
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+    enc_p = spz_mod.encode_scales(scale)
+    dec_p = spz_mod.decode_scales(enc_p)
+    np.testing.assert_array_equal(enc_n, enc_p)
+    np.testing.assert_allclose(dec_n, dec_p, rtol=1e-6)
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_rotations_exact(version, monkeypatch):
+    header = SpzHeader(version=version, num_points=N, sh_degree=0,
+                       fractional_bits=12)
+    q = _rng().normal(size=(N, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    enc_n = spz_mod.encode_rotations(q, header)
+    dec_n = spz_mod.decode_rotations(enc_n, header)
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+    enc_p = spz_mod.encode_rotations(q, header)
+    dec_p = spz_mod.decode_rotations(enc_p, header)
+
+    np.testing.assert_array_equal(enc_n, enc_p)
+    np.testing.assert_allclose(dec_n, dec_p, atol=1e-6)
+
+
+def test_colors_exact(monkeypatch):
+    c = _rng().integers(0, 256, (N, 3)).astype(np.uint8)
+    enc_n = spz_mod.encode_colors(c)
+    dec_n = spz_mod.decode_colors(enc_n)
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+    enc_p = spz_mod.encode_colors(c)
+    dec_p = spz_mod.decode_colors(enc_p)
+    np.testing.assert_array_equal(enc_n, enc_p)
+    np.testing.assert_array_equal(dec_n, dec_p)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 5, 8])
+def test_sh_exact(bits, monkeypatch):
+    sh = (_rng().random((N, 15, 3), dtype=np.float32) * 2 - 1)
+    enc_n = spz_mod.encode_shs(sh, 3, (bits, bits, bits))
+    dec_n = spz_mod.decode_shs(enc_n)
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+    enc_p = spz_mod.encode_shs(sh, 3, (bits, bits, bits))
+    dec_p = spz_mod.decode_shs(enc_p)
+    np.testing.assert_array_equal(enc_n, enc_p)
+    np.testing.assert_array_equal(dec_n, dec_p)
+
+
+def test_full_file_roundtrip_native_matches_numpy(monkeypatch, tmp_path):
+    """Whole-file SPZ write with native codecs == numpy byte-for-byte."""
+    from wgpu_3dgs_core_tpu import GaussianSoA
+
+    rng = _rng()
+    soa = GaussianSoA(
+        rot=rng.normal(size=(N, 4)).astype(np.float32),
+        pos=(rng.random((N, 3), dtype=np.float32) * 10 - 5),
+        color=rng.integers(0, 256, (N, 4)).astype(np.uint8),
+        sh=(rng.random((N, 15, 3), dtype=np.float32) * 2 - 1),
+        scale=(rng.random((N, 3), dtype=np.float32) + 0.01),
+    )
+    soa.rot /= np.linalg.norm(soa.rot, axis=1, keepdims=True)
+
+    spz_native = soa.to_spz()
+    monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
+    spz_numpy = soa.to_spz()
+    assert spz_native == spz_numpy

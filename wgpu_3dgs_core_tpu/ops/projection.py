@@ -41,7 +41,8 @@ def project(
     cov3d_sigma6: jnp.ndarray,
     camera: Camera,
     model_transform: Optional[tuple] = None,
-    model_scale_rot: Optional[jnp.ndarray] = None,
+    size: float = 1.0,
+    radius_cutoff: float = RADIUS_CUTOFF,
 ) -> ProjectedSplats:
     """Project gaussians to screen space.
 
@@ -50,6 +51,10 @@ def project(
     ``model_transform``: optional (pos, rot, scale) arrays applying a
     model->world TRS before the view transform (the analog of consuming
     ModelTransformPod, reference: src/shader/model_transform.wesl).
+    ``size``: splat size multiplier (GaussianTransform.size analog) —
+    scales the screen-space covariance by size^2.
+    ``radius_cutoff``: extent in standard deviations
+    (GaussianTransform.max_std_dev analog).
     """
     view = camera.view_matrix()
     r_view = view[:3, :3]
@@ -89,9 +94,13 @@ def project(
     # Sigma2D = J V J^T with J = [[j00, 0, j02], [0, j11, j12]].
     v00, v01, v02 = v[..., 0, 0], v[..., 0, 1], v[..., 0, 2]
     v11, v12, v22 = v[..., 1, 1], v[..., 1, 2], v[..., 2, 2]
-    c00 = j00 * (j00 * v00 + j02 * v02) + j02 * (j00 * v02 + j02 * v22) + COV2D_BLUR
-    c01 = j11 * (j00 * v01 + j02 * v12) + j12 * (j00 * v02 + j02 * v22)
-    c11 = j11 * (j11 * v11 + j12 * v12) + j12 * (j11 * v12 + j12 * v22) + COV2D_BLUR
+    s2 = size * size
+    c00 = s2 * (j00 * (j00 * v00 + j02 * v02)
+                + j02 * (j00 * v02 + j02 * v22)) + COV2D_BLUR
+    c01 = s2 * (j11 * (j00 * v01 + j02 * v12)
+                + j12 * (j00 * v02 + j02 * v22))
+    c11 = s2 * (j11 * (j11 * v11 + j12 * v12)
+                + j12 * (j11 * v12 + j12 * v22)) + COV2D_BLUR
 
     det = c00 * c11 - c01 * c01
     valid = in_frustum & (det > 0.0)
@@ -103,7 +112,7 @@ def project(
     # Extent: RADIUS_CUTOFF standard deviations of the major axis.
     mid = 0.5 * (c00 + c11)
     lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
-    radius = jnp.ceil(RADIUS_CUTOFF * jnp.sqrt(lambda1))
+    radius = jnp.ceil(radius_cutoff * jnp.sqrt(lambda1))
     radius = jnp.where(valid, radius, 0.0)
 
     # Pixel coordinates of the mean.

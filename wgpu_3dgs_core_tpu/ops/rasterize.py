@@ -69,10 +69,15 @@ def pack_work_info(tile, first, last, valid, new_block):
     ).astype(jnp.int32)
 
 
-def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid):
+def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
+                  cutoff_sq=Q_CUTOFF, mode=0):
     """Shared fwd/bwd per-chunk math up to alpha. Returns per-fragment rows
     [1, K] and per-(pixel, fragment) [PIX, K] arrays. ``item_valid`` masks
-    padding work items to no-ops (they revisit real tiles' ranges)."""
+    padding work items to no-ops (they revisit real tiles' ranges).
+    ``mode``: 0 splat (gaussian falloff), 1 ellipse (opaque boundary ring),
+    2 point (treated as splat; projection substitutes an isotropic conic) —
+    the GaussianDisplayMode analog (reference: gaussian_transform.rs:7-14).
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     fidx = blk * chunk + lane
     inrange = (fidx >= ts) & (fidx < te) & (item_valid == 1)
@@ -91,10 +96,18 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid):
     dx = px - x  # [PIX, K]
     dy = py - y
     q = c0 * dx * dx + 2.0 * c1 * dx * dy + c2 * dy * dy
-    g_exp = jnp.exp(-0.5 * q)
-    alpha_raw = op * g_exp
-    alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
-    ok = inrange & (q <= Q_CUTOFF) & (alpha >= ALPHA_MIN)
+    if mode == 1:
+        # Ellipse outline: opaque ring at the cutoff boundary.
+        g_exp = jnp.ones_like(q)
+        alpha_raw = op * g_exp
+        alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
+        ring = (q <= cutoff_sq) & (q >= cutoff_sq * 0.64)
+        ok = inrange & ring & (alpha >= ALPHA_MIN)
+    else:
+        g_exp = jnp.exp(-0.5 * q)
+        alpha_raw = op * g_exp
+        alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
+        ok = inrange & (q <= cutoff_sq) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
     return alpha, alpha_raw, g_exp, ok, dx, dy, q
 
@@ -115,6 +128,8 @@ def _fwd_kernel(
     chunk: int,
     tiles_x: int,
     bg: tuple,
+    cutoff_sq: float,
+    mode: int,
 ):
     w = pl.program_id(0)
     info = winfo_ref[w]
@@ -133,6 +148,7 @@ def _fwd_kernel(
 
     alpha, _, _, _, _, _, _ = _chunk_alphas(
         frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
+        cutoff_sq, mode,
     )
 
     log1m = jnp.log1p(-alpha)
@@ -177,6 +193,8 @@ def _bwd_kernel(
     chunk: int,
     tiles_x: int,
     bg: tuple,
+    cutoff_sq: float,
+    mode: int,
 ):
     w = pl.program_id(0)
     info = winfo_ref[w]
@@ -215,6 +233,7 @@ def _bwd_kernel(
 
     alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
         frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
+        cutoff_sq, mode,
     )
     c0 = frag_ref[2:3, :]
     c1 = frag_ref[3:4, :]
@@ -258,7 +277,8 @@ def _bwd_kernel(
     dalpha = jnp.where(live, dalpha, 0.0)
     d_op = dalpha * g_exp
     d_g = dalpha * op
-    d_q = d_g * (-0.5) * g_exp
+    # Ellipse mode: alpha is flat inside the ring, no q gradient.
+    d_q = (d_g * (-0.5) * g_exp) if mode != 1 else jnp.zeros_like(d_g)
     d_c0 = d_q * dx * dx
     d_c1 = 2.0 * d_q * dx * dy
     d_c2 = d_q * dy * dy
@@ -282,7 +302,7 @@ def _bwd_kernel(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def rasterize_tiles(
     frag_attrs,  # [NUM_ATTRS, F_pad] f32, differentiable
     work_info,  # [W] int32, pack_work_info(tile, first, last, valid, new)
@@ -293,6 +313,8 @@ def rasterize_tiles(
     tiles_x: int,
     n_tiles: int,
     bg: tuple,
+    cutoff_sq: float = Q_CUTOFF,
+    mode: int = 0,
 ):
     """Rasterize the fragment stream into per-tile pixel blocks.
 
@@ -301,12 +323,13 @@ def rasterize_tiles(
     """
     return _rasterize_fwd_call(
         frag_attrs, work_info, work_block, tile_start, tile_end,
-        chunk, tiles_x, n_tiles, bg,
+        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode,
     )
 
 
 def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
-                        tile_end, chunk, tiles_x, n_tiles, bg):
+                        tile_end, chunk, tiles_x, n_tiles, bg,
+                        cutoff_sq=Q_CUTOFF, mode=0):
     n_work = work_info.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -324,7 +347,8 @@ def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
         scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg),
+        functools.partial(_fwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg,
+                          cutoff_sq=cutoff_sq, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PIX), jnp.float32),
         interpret=interpret_mode(),
@@ -332,16 +356,17 @@ def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
 
 
 def _rasterize_fwd(frag_attrs, work_info, work_block, tile_start, tile_end,
-                   chunk, tiles_x, n_tiles, bg):
+                   chunk, tiles_x, n_tiles, bg, cutoff_sq, mode):
     out = _rasterize_fwd_call(
         frag_attrs, work_info, work_block, tile_start, tile_end,
-        chunk, tiles_x, n_tiles, bg,
+        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode,
     )
     residuals = (frag_attrs, work_info, work_block, tile_start, tile_end, out)
     return out, residuals
 
 
-def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
+def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, residuals,
+                   g_out):
     frag_attrs, work_info, work_block, tile_start, tile_end, out = residuals
     n_work = work_info.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -368,7 +393,8 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, residuals, g_out):
         scratch_shapes=[pltpu.VMEM((PIX, 16), jnp.float32)],
     )
     dfrag = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg),
+        functools.partial(_bwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg,
+                          cutoff_sq=cutoff_sq, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(frag_attrs.shape, jnp.float32),
         interpret=interpret_mode(),

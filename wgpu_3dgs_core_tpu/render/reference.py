@@ -20,7 +20,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..ops.projection import RADIUS_CUTOFF, project
+from ..ops.projection import project
 from ..ops.sh import gaussian_color
 from .camera import Camera
 
@@ -63,6 +63,9 @@ def render_reference(
     no_sh0: bool = False,
     background: tuple = (0.0, 0.0, 0.0),
     model_transform: Optional[tuple] = None,
+    size: float = 1.0,
+    max_std_dev: float = 3.0,
+    display_mode: int = 0,
 ) -> jnp.ndarray:
     """Render [H, W, 3] by blending every gaussian at every pixel.
 
@@ -70,7 +73,16 @@ def render_reference(
     ``sh``: optional [N, 15, 3] rest coefficients.
     """
     h, w_px = camera.height, camera.width
-    splats = project(means, cov3d_sigma6, camera, model_transform)
+    splats = project(means, cov3d_sigma6, camera, model_transform,
+                     size=size, radius_cutoff=max_std_dev)
+    if display_mode == 2:  # point
+        pt = max(float(size), 0.5)
+        conic_pt = jnp.array([1.0 / (pt * pt), 0.0, 1.0 / (pt * pt)],
+                             jnp.float32)
+        splats = splats._replace(
+            conic=jnp.broadcast_to(conic_pt, splats.conic.shape),
+            radius=jnp.where(splats.mask, jnp.ceil(max_std_dev * pt), 0.0),
+        )
 
     # View-dependent color, directions from camera center to each gaussian.
     view = camera.view_matrix()
@@ -100,10 +112,14 @@ def render_reference(
         + 2.0 * conic[:, 1:2] * dx * dy
         + conic[:, 2:3] * dy * dy
     )
-    alpha = jnp.minimum(a[:, None] * jnp.exp(-0.5 * q), ALPHA_CLAMP)
-    alpha = jnp.where(
-        (q <= RADIUS_CUTOFF * RADIUS_CUTOFF) & (alpha >= ALPHA_MIN), alpha, 0.0
-    )
+    cutoff_sq = float(max_std_dev) ** 2
+    if display_mode == 1:  # ellipse outline: opaque ring at the boundary
+        alpha = jnp.minimum(a[:, None] * jnp.ones_like(q), ALPHA_CLAMP)
+        ok = (q <= cutoff_sq) & (q >= cutoff_sq * 0.64) & (alpha >= ALPHA_MIN)
+    else:
+        alpha = jnp.minimum(a[:, None] * jnp.exp(-0.5 * q), ALPHA_CLAMP)
+        ok = (q <= cutoff_sq) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
 
     w, t_final = blend_weights(alpha)
     color = jnp.einsum("np,nc->pc", w, rgb)  # [P, 3]

@@ -13,7 +13,12 @@ from typing import Any, NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from ..buffer import GaussiansBuffer, GaussianTransform, ModelTransform
+from ..buffer import (
+    GaussianDisplayMode,
+    GaussiansBuffer,
+    GaussianTransform,
+    ModelTransform,
+)
 from ..layouts import Cov3dFormat, PackedGaussians
 from ..ops.binning import (
     bin_splats,
@@ -54,11 +59,16 @@ def render(
     model_transform: Optional[tuple] = None,
     max_fragments: Optional[int] = None,
     chunk: int = DEFAULT_CHUNK,
+    size: float = 1.0,
+    max_std_dev: float = 3.0,
+    display_mode: GaussianDisplayMode = GaussianDisplayMode.SPLAT,
 ) -> RenderResult:
     """Differentiable tiled render to [H, W, 3].
 
     ``means`` [N,3], ``cov3d_sigma6`` [N,6], ``base_color`` [N,3] in [0,1],
     ``opacity`` [N] in [0,1], optional ``sh`` [N,15,3].
+    ``size``/``max_std_dev``/``display_mode`` implement the reference's
+    GaussianTransform knobs (reference: src/buffer/gaussian_transform.rs).
     """
     h, w_px = camera.height, camera.width
     tiles_x, tiles_y = num_tiles(w_px, h)
@@ -72,7 +82,19 @@ def render(
     n_blocks = f_cap // chunk
     w_cap = n_blocks + t_total
 
-    splats = project(means, cov3d_sigma6, camera, model_transform)
+    splats = project(means, cov3d_sigma6, camera, model_transform,
+                     size=size, radius_cutoff=max_std_dev)
+    if display_mode == GaussianDisplayMode.POINT:
+        # Fixed-size isotropic dot of ~``size`` pixels std dev.
+        pt = max(float(size), 0.5)
+        conic_pt = jnp.array([1.0 / (pt * pt), 0.0, 1.0 / (pt * pt)],
+                             jnp.float32)
+        splats = splats._replace(
+            conic=jnp.broadcast_to(conic_pt, splats.conic.shape),
+            radius=jnp.where(
+                splats.mask, jnp.ceil(max_std_dev * pt), 0.0
+            ),
+        )
 
     view = camera.view_matrix()
     cam_pos = -view[:3, :3].T @ view[:3, 3]
@@ -83,6 +105,7 @@ def render(
     tiles, overflow = rasterize_splats(
         splats.xy, splats.depth, splats.conic, splats.radius, splats.mask,
         rgb, opacity, tiles_x, tiles_y, f_cap, chunk, tuple(background),
+        cutoff_sq=float(max_std_dev) ** 2, mode=int(display_mode),
     )
     img = tiles_to_image(tiles, tiles_x, tiles_y, w_px, h)
     return RenderResult(
@@ -94,7 +117,8 @@ def render(
 
 def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
                      tiles_x: int, tiles_y: int, f_cap: int, chunk: int,
-                     background: tuple, tile_y_offset=0):
+                     background: tuple, tile_y_offset=0,
+                     cutoff_sq: float = 9.0, mode: int = 0):
     """Projected splats -> [tiles_x*tiles_y, 256, 4] tile blocks.
 
     The shared middle of the pipeline (binning + gather + Pallas kernel),
@@ -149,6 +173,8 @@ def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
         tiles_x,
         t_total,
         tuple(background),
+        cutoff_sq,
+        mode,
     )
     return tiles, stream.overflow
 
@@ -206,5 +232,8 @@ def render_gaussians(
         no_sh0=transform.no_sh0,
         background=background,
         model_transform=mt,
+        size=transform.size,
+        max_std_dev=transform.max_std_dev,
+        display_mode=transform.display_mode,
         **kw,
     )

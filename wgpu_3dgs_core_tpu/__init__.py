@@ -35,6 +35,9 @@ from .ops import (  # noqa: F401
 from .render import (  # noqa: F401
     Camera,
     RenderResult,
+    TrainableGaussians,
+    fit,
+    make_train_step,
     render,
     render_gaussians,
     render_reference,

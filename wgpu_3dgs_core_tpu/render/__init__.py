@@ -1,6 +1,7 @@
 from .camera import Camera
 from .reference import render_reference
 from .renderer import RenderResult, render, render_gaussians
+from .train import TrainableGaussians, fit, make_train_step
 
 __all__ = [
     "Camera",
@@ -8,4 +9,7 @@ __all__ = [
     "RenderResult",
     "render",
     "render_gaussians",
+    "TrainableGaussians",
+    "fit",
+    "make_train_step",
 ]

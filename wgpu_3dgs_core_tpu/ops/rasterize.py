@@ -160,12 +160,13 @@ def _fwd_kernel(
     blend = t_i > T_MIN
     wgt = jnp.where(blend, alpha * t_i, 0.0)
 
-    r = frag_ref[5:6, :]
-    g = frag_ref[6:7, :]
-    b = frag_ref[7:8, :]
-    state_ref[:, 0:1] += jnp.sum(wgt * r, axis=1, keepdims=True)
-    state_ref[:, 1:2] += jnp.sum(wgt * g, axis=1, keepdims=True)
-    state_ref[:, 2:3] += jnp.sum(wgt * b, axis=1, keepdims=True)
+    # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU contraction
+    # instead of three VPU multiply+reduce passes.
+    c_rows = frag_ref[5:8, :]  # [3, K]
+    state_ref[:, 0:3] += jax.lax.dot_general(
+        wgt, c_rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     state_ref[:, 3:4] = t_run * jnp.exp(
         jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
     )
@@ -238,7 +239,6 @@ def _bwd_kernel(
     c0 = frag_ref[2:3, :]
     c1 = frag_ref[3:4, :]
     op = frag_ref[8:9, :]
-    rgb_rows = (frag_ref[5:6, :], frag_ref[6:7, :], frag_ref[7:8, :])
 
     log1m = jnp.log1p(-alpha)
     tri_excl = _tri(chunk, strict=True)
@@ -254,22 +254,32 @@ def _bwd_kernel(
     g_t_total = state_ref[:, 5:6]
 
     # dL/dalpha_i = sum_ch g_ch (T_i c_ich - S_ich/(1-a_i))
-    #              - gT_total * T_f/(1-a_i),   S_i = C_blend - A_i(incl)
+    #              - gT_total * T_f/(1-a_i),   S_i = C_blend - A_i(incl).
+    # The channel sum distributes into the inclusive cumsum (g_ch is
+    # per-pixel constant), so with u = sum_ch g_ch c_ch the three per-
+    # channel triangular matmuls collapse into one:
+    #   sum_ch g_ch S_ich = sum_ch g_ch (C_bl_ch - A_run_ch)
+    #                       - cumsum_incl(wgt * u).
     one_minus = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
-    dalpha = -g_t_total * t_f / one_minus  # [PIX, K]
-    for ch in range(3):
-        g_ch = state_ref[:, 6 + ch : 7 + ch]  # [PIX, 1]
-        c_ch = rgb_rows[ch]  # [1, K]
-        wc = wgt * c_ch
-        a_incl = state_ref[:, ch : ch + 1] + jnp.dot(
-            wc, tri_incl, preferred_element_type=jnp.float32
-        )
-        s_i = state_ref[:, 9 + ch : 10 + ch] - a_incl
-        dalpha += g_ch * (t_i * c_ch - s_i / one_minus)
-        # color gradient: dL/dc_ich = g_ch * w_i, summed over pixels
-        dfrag_ref[5 + ch : 6 + ch, :] += jnp.sum(
-            g_ch * wgt, axis=0, keepdims=True
-        )
+    g3 = state_ref[:, 6:9]  # [PIX, 3]
+    c_rows = frag_ref[5:8, :]  # [3, K]
+    u = jax.lax.dot_general(
+        g3, c_rows, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [PIX, K]
+    g_cbl_a = jnp.sum(
+        g3 * (state_ref[:, 9:12] - state_ref[:, 0:3]), axis=1, keepdims=True
+    )  # [PIX, 1]
+    gs_i = g_cbl_a - jnp.dot(
+        wgt * u, tri_incl, preferred_element_type=jnp.float32
+    )
+    dalpha = t_i * u - gs_i / one_minus - g_t_total * t_f / one_minus
+    # color gradient: dL/dc_ich = sum_pix g_ch w_i — one [3,PIX]x[PIX,K]
+    # MXU contraction.
+    dfrag_ref[5:8, :] += jax.lax.dot_general(
+        g3, wgt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     dalpha = jnp.where(blend & ok, dalpha, 0.0)
 
     # alpha = min(0.99, op * G): clamp kills the gradient.
@@ -293,10 +303,10 @@ def _bwd_kernel(
     dfrag_ref[8:9, :] += jnp.sum(d_op, axis=0, keepdims=True)
 
     # advance prefix accumulators
-    for ch in range(3):
-        state_ref[:, ch : ch + 1] += jnp.sum(
-            wgt * rgb_rows[ch], axis=1, keepdims=True
-        )
+    state_ref[:, 0:3] += jax.lax.dot_general(
+        wgt, c_rows, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     state_ref[:, 3:4] = t_run * jnp.exp(
         jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
     )

@@ -111,3 +111,21 @@ def test_render_gaussians_passes_knobs():
     small = render_gaussians(buf, cam, GaussianTransform(max_std_dev=0.5))
     assert not np.allclose(np.asarray(base.image), np.asarray(pt.image))
     assert not np.allclose(np.asarray(base.image), np.asarray(small.image))
+
+
+def test_antialiased_compensation_matches_reference():
+    """SPZ antialiased flag behavior: opacity compensated by the blur
+    dilation ratio (reference stores the flag at spz.rs:565-567)."""
+    means, quats, scales, color, opac, _ = _random_scene(n=20, seed=11)
+    # tiny splats: strong compensation effect
+    cov6 = cov3d_from_rot_scale(quats, scales * 0.1)
+    ref = render_reference(means, cov6, color, opac, CAM, background=BG,
+                           antialiased=True)
+    res = render(means, cov6, color, opac, CAM, background=BG,
+                 antialiased=True)
+    np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
+                               atol=1e-5, rtol=0)
+    plain = render(means, cov6, color, opac, CAM, background=BG)
+    # compensation reduces small splats' opacity -> more background
+    assert (np.asarray(res.transmittance).mean()
+            > np.asarray(plain.transmittance).mean())

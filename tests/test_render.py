@@ -219,4 +219,4 @@ def test_render_jit_compatible():
 
     a = np.asarray(f(means, cov6, color, opac))
     b = np.asarray(render(means, cov6, color, opac, CAM, background=BG).image)
-    np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5)

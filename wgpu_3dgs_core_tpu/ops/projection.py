@@ -34,6 +34,7 @@ class ProjectedSplats(NamedTuple):
     conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
     radius: jnp.ndarray  # [N] pixel radius (0 => culled)
     mask: jnp.ndarray  # [N] bool, in-frustum and non-degenerate
+    compensation: jnp.ndarray  # [N] antialiasing opacity factor (1 if off)
 
 
 def project(
@@ -43,6 +44,7 @@ def project(
     model_transform: Optional[tuple] = None,
     size: float = 1.0,
     radius_cutoff: float = RADIUS_CUTOFF,
+    antialiased: bool = False,
 ) -> ProjectedSplats:
     """Project gaussians to screen space.
 
@@ -55,6 +57,10 @@ def project(
     scales the screen-space covariance by size^2.
     ``radius_cutoff``: extent in standard deviations
     (GaussianTransform.max_std_dev analog).
+    ``antialiased``: honor the SPZ antialiased flag (reference:
+    spz.rs:565-567 stores it; the renderer behavior is the standard
+    opacity compensation sqrt(det(Sigma)/det(Sigma+blur)) so splats
+    shrunk below the low-pass dilation fade instead of popping).
     """
     view = camera.view_matrix()
     r_view = view[:3, :3]
@@ -106,6 +112,14 @@ def project(
     valid = in_frustum & (det > 0.0)
     det_safe = jnp.where(det > 0.0, det, 1.0)
 
+    if antialiased:
+        det_orig = (c00 - COV2D_BLUR) * (c11 - COV2D_BLUR) - c01 * c01
+        compensation = jnp.sqrt(
+            jnp.maximum(det_orig, 0.0) / det_safe
+        )
+    else:
+        compensation = jnp.ones_like(det)
+
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
@@ -121,5 +135,6 @@ def project(
     xy = jnp.stack([u, v_pix], axis=-1)
 
     return ProjectedSplats(
-        xy=xy, depth=tz, conic=conic, radius=radius, mask=valid
+        xy=xy, depth=tz, conic=conic, radius=radius, mask=valid,
+        compensation=compensation,
     )

@@ -70,32 +70,57 @@ def pack_work_info(tile, first, last, valid, new_block):
 
 
 def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
-                  cutoff_sq=Q_CUTOFF, mode=0):
+                  cutoff_sq=Q_CUTOFF, mode=0, need_dxdy=True):
     """Shared fwd/bwd per-chunk math up to alpha. Returns per-fragment rows
     [1, K] and per-(pixel, fragment) [PIX, K] arrays. ``item_valid`` masks
     padding work items to no-ops (they revisit real tiles' ranges).
     ``mode``: 0 splat (gaussian falloff), 1 ellipse (opaque boundary ring),
     2 point (treated as splat; projection substitutes an isotropic conic) —
     the GaussianDisplayMode analog (reference: gaussian_transform.rs:7-14).
+
+    The quadratic form q(px,py) is evaluated on the MXU: it is quadratic
+    in pixel coordinates with six per-fragment coefficients, so q for all
+    256 pixels is one [PIX,6] @ [6,K] contraction. Tile-local coordinates
+    keep the expansion well-conditioned (|x_local| is bounded by the splat
+    radius because fragments only exist in bbox-overlapping tiles).
+    ``need_dxdy=False`` (forward pass) skips materializing dx/dy.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     fidx = blk * chunk + lane
     inrange = (fidx >= ts) & (fidx < te) & (item_valid == 1)
 
-    x = frag_ref[0:1, :]
-    y = frag_ref[1:2, :]
+    x_l = frag_ref[0:1, :] - (tx * TILE_SIZE).astype(jnp.float32)
+    y_l = frag_ref[1:2, :] - (ty * TILE_SIZE).astype(jnp.float32)
     c0 = frag_ref[2:3, :]
     c1 = frag_ref[3:4, :]
     c2 = frag_ref[4:5, :]
     op = frag_ref[8:9, :]
 
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (tx * TILE_SIZE + p % TILE_SIZE).astype(jnp.float32) + 0.5
-    py = (ty * TILE_SIZE + p // TILE_SIZE).astype(jnp.float32) + 0.5
+    coef = jnp.concatenate(
+        [
+            c0 * x_l * x_l + 2.0 * c1 * x_l * y_l + c2 * y_l * y_l,
+            -2.0 * (c0 * x_l + c1 * y_l),
+            -2.0 * (c2 * y_l + c1 * x_l),
+            c0,
+            2.0 * c1,
+            c2,
+        ],
+        axis=0,
+    )  # [6, K]
 
-    dx = px - x  # [PIX, K]
-    dy = py - y
-    q = c0 * dx * dx + 2.0 * c1 * dx * dy + c2 * dy * dy
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (p % TILE_SIZE).astype(jnp.float32) + 0.5  # tile-local
+    py = (p // TILE_SIZE).astype(jnp.float32) + 0.5
+    basis = jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
+    )  # [PIX, 6]
+    q = jnp.dot(basis, coef, preferred_element_type=jnp.float32)
+
+    if need_dxdy:
+        dx = px - x_l  # [PIX, K]; local coords cancel identically
+        dy = py - y_l
+    else:
+        dx = dy = None
     if mode == 1:
         # Ellipse outline: opaque ring at the cutoff boundary.
         g_exp = jnp.ones_like(q)
@@ -148,7 +173,7 @@ def _fwd_kernel(
 
     alpha, _, _, _, _, _, _ = _chunk_alphas(
         frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
-        cutoff_sq, mode,
+        cutoff_sq, mode, need_dxdy=False,
     )
 
     log1m = jnp.log1p(-alpha)

@@ -66,6 +66,7 @@ def render_reference(
     size: float = 1.0,
     max_std_dev: float = 3.0,
     display_mode: int = 0,
+    antialiased: bool = False,
 ) -> jnp.ndarray:
     """Render [H, W, 3] by blending every gaussian at every pixel.
 
@@ -74,7 +75,9 @@ def render_reference(
     """
     h, w_px = camera.height, camera.width
     splats = project(means, cov3d_sigma6, camera, model_transform,
-                     size=size, radius_cutoff=max_std_dev)
+                     size=size, radius_cutoff=max_std_dev,
+                     antialiased=antialiased)
+    opacity = opacity * splats.compensation
     if display_mode == 2:  # point
         pt = max(float(size), 0.5)
         conic_pt = jnp.array([1.0 / (pt * pt), 0.0, 1.0 / (pt * pt)],

@@ -62,6 +62,7 @@ def render(
     size: float = 1.0,
     max_std_dev: float = 3.0,
     display_mode: GaussianDisplayMode = GaussianDisplayMode.SPLAT,
+    antialiased: bool = False,
 ) -> RenderResult:
     """Differentiable tiled render to [H, W, 3].
 
@@ -83,7 +84,9 @@ def render(
     w_cap = n_blocks + t_total
 
     splats = project(means, cov3d_sigma6, camera, model_transform,
-                     size=size, radius_cutoff=max_std_dev)
+                     size=size, radius_cutoff=max_std_dev,
+                     antialiased=antialiased)
+    opacity = opacity * splats.compensation
     if display_mode == GaussianDisplayMode.POINT:
         # Fixed-size isotropic dot of ~``size`` pixels std dev.
         pt = max(float(size), 0.5)

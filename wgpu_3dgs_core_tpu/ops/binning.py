@@ -53,22 +53,27 @@ def num_tiles(width: int, height: int) -> tuple[int, int]:
     return tx, ty
 
 
-def tile_bounds(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
+def tile_bounds(xy: jnp.ndarray, extent: jnp.ndarray, tiles_x: int,
                 tiles_y: int, tile_y_offset=0) -> tuple:
     """Per-gaussian tile bbox [x0, x1) x [y0, y1), clamped to the grid.
 
+    ``extent`` is the [N, 2] per-axis pixel half-extent of the cutoff
+    ellipse (exact axis-aligned bbox — see ops/projection.py).
     ``tile_y_offset`` shifts into a local window of ``tiles_y`` tile rows
     starting at that global row — used by the sharded renderer, where each
     device rasterizes a horizontal strip (may be a traced device index).
     """
-    x0 = jnp.clip(((xy[:, 0] - radius) / TILE_SIZE), 0, tiles_x).astype(jnp.int32)
+    # Upper bounds are floor(edge/TILE)+1 (exclusive): the integer ceil-div
+    # idiom (a + T - 1) // T under-counts for FLOAT edges landing within
+    # one pixel past a tile boundary.
+    rx = extent[:, 0]
+    ry = extent[:, 1]
+    x0 = jnp.clip(((xy[:, 0] - rx) / TILE_SIZE), 0, tiles_x).astype(jnp.int32)
     x1 = jnp.clip(
-        ((xy[:, 0] + radius + TILE_SIZE - 1) / TILE_SIZE), 0, tiles_x
+        jnp.floor((xy[:, 0] + rx) / TILE_SIZE) + 1, 0, tiles_x
     ).astype(jnp.int32)
-    y0g = jnp.floor((xy[:, 1] - radius) / TILE_SIZE).astype(jnp.int32)
-    y1g = jnp.floor(
-        (xy[:, 1] + radius + TILE_SIZE - 1) / TILE_SIZE
-    ).astype(jnp.int32)
+    y0g = jnp.floor((xy[:, 1] - ry) / TILE_SIZE).astype(jnp.int32)
+    y1g = (jnp.floor((xy[:, 1] + ry) / TILE_SIZE) + 1).astype(jnp.int32)
     y0 = jnp.clip(y0g - tile_y_offset, 0, tiles_y)
     y1 = jnp.clip(y1g - tile_y_offset, 0, tiles_y)
     return x0, y0, x1, y1
@@ -76,7 +81,7 @@ def tile_bounds(xy: jnp.ndarray, radius: jnp.ndarray, tiles_x: int,
 
 def bin_splats(
     xy: jnp.ndarray,
-    radius: jnp.ndarray,
+    extent: jnp.ndarray,
     depth: jnp.ndarray,
     mask: jnp.ndarray,
     tiles_x: int,
@@ -100,13 +105,14 @@ def bin_splats(
         jnp.where(mask, depth, jnp.inf), stable=True
     ).astype(jnp.int32)
     xy = xy[depth_order]
-    radius = radius[depth_order]
+    extent = extent[depth_order]
     mask = mask[depth_order]
 
-    x0, y0, x1, y1 = tile_bounds(xy, radius, tiles_x, tiles_y, tile_y_offset)
+    x0, y0, x1, y1 = tile_bounds(xy, extent, tiles_x, tiles_y, tile_y_offset)
     span_x = jnp.maximum(x1 - x0, 0)
     span_y = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(mask & (radius > 0), span_x * span_y, 0)
+    live = mask & (extent[:, 0] > 0) & (extent[:, 1] > 0)
+    counts = jnp.where(live, span_x * span_y, 0)
 
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if n else jnp.int32(0)

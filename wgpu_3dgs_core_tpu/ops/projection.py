@@ -32,7 +32,7 @@ class ProjectedSplats(NamedTuple):
     xy: jnp.ndarray  # [N, 2] pixel coordinates of the mean
     depth: jnp.ndarray  # [N] camera-space z
     conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
-    radius: jnp.ndarray  # [N] pixel radius (0 => culled)
+    extent: jnp.ndarray  # [N, 2] pixel half-extent per axis (0 => culled)
     mask: jnp.ndarray  # [N] bool, in-frustum and non-degenerate
     compensation: jnp.ndarray  # [N] antialiasing opacity factor (1 if off)
 
@@ -123,11 +123,15 @@ def project(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
-    # Extent: RADIUS_CUTOFF standard deviations of the major axis.
-    mid = 0.5 * (c00 + c11)
-    lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
-    radius = jnp.ceil(radius_cutoff * jnp.sqrt(lambda1))
-    radius = jnp.where(valid, radius, 0.0)
+    # Extent: exact axis-aligned bbox of the cutoff ellipse. The region
+    # {q <= cutoff^2} of a gaussian with 2D covariance Sigma has per-axis
+    # half-extent cutoff * sqrt(Sigma_xx / Sigma_yy) — strictly tighter than
+    # the circumscribed circle of the major axis (up to sqrt(l2/l1) smaller
+    # per axis for anisotropic splats), and still exact: binning by this
+    # bbox never drops a pixel with q inside the cutoff.
+    ex = jnp.ceil(radius_cutoff * jnp.sqrt(jnp.maximum(c00, 0.0)))
+    ey = jnp.ceil(radius_cutoff * jnp.sqrt(jnp.maximum(c11, 0.0)))
+    extent = jnp.where(valid[:, None], jnp.stack([ex, ey], axis=-1), 0.0)
 
     # Pixel coordinates of the mean.
     u = fx * t[..., 0] / tz_safe + camera.cx
@@ -135,6 +139,6 @@ def project(
     xy = jnp.stack([u, v_pix], axis=-1)
 
     return ProjectedSplats(
-        xy=xy, depth=tz, conic=conic, radius=radius, mask=valid,
+        xy=xy, depth=tz, conic=conic, extent=extent, mask=valid,
         compensation=compensation,
     )

@@ -5,7 +5,7 @@ sequence-parallel attention for the gaussian axis:
 
 - **Gaussians sharded** over the ``data`` axis: each device projects and
   colors only its shard (projection is elementwise — perfect scaling).
-- **Splat exchange**: projected screen-space splats (~13 f32/gaussian —
+- **Splat exchange**: projected screen-space splats (~14 f32/gaussian —
   far smaller than the raw parameters + SH) are ``all_gather``-ed over ICI.
 - **Tiles strip-partitioned**: each device bins + rasterizes a horizontal
   strip of tile rows from the full splat set — the binning sort shrinks to
@@ -101,8 +101,8 @@ def render_sharded(
             color_l, sh_l if use_sh else None, dirs, sh_deg, no_sh0
         )
 
-        # Exchange compact projected splats over ICI: [N_local, 13] each ->
-        # [N, 13] everywhere. Transposes to a reduce-scatter in backward.
+        # Exchange compact projected splats over ICI: [N_local, 14] each ->
+        # [N, 14] everywhere. Transposes to a reduce-scatter in backward.
         packed = jnp.concatenate(
             [
                 splats.xy,
@@ -110,7 +110,7 @@ def render_sharded(
                 rgb_l,
                 (opac_l * splats.mask)[:, None],
                 splats.depth[:, None],
-                splats.radius[:, None],
+                splats.extent,
                 splats.mask.astype(jnp.float32)[:, None],
             ],
             axis=-1,
@@ -122,8 +122,8 @@ def render_sharded(
         rgb = packed[:, 5:8]
         opac = packed[:, 8]
         depth = packed[:, 9]
-        radius = packed[:, 10]
-        mask = packed[:, 11] > 0.5
+        extent = packed[:, 10:12]
+        mask = packed[:, 12] > 0.5
 
         # Rasterize this device's strip of tile rows: shift splats into
         # strip-local pixel space (the kernel derives pixel coordinates
@@ -134,7 +134,7 @@ def render_sharded(
             [jnp.zeros_like(y_shift), y_shift]
         )[None, :]
         tiles, overflow = rasterize_splats(
-            xy_local, depth, conic, radius, mask, rgb, opac,
+            xy_local, depth, conic, extent, mask, rgb, opac,
             tiles_x, rows_per_dev, f_cap, chunk, bg,
         )
 

@@ -84,7 +84,9 @@ def render_reference(
                              jnp.float32)
         splats = splats._replace(
             conic=jnp.broadcast_to(conic_pt, splats.conic.shape),
-            radius=jnp.where(splats.mask, jnp.ceil(max_std_dev * pt), 0.0),
+            extent=jnp.where(
+                splats.mask[:, None], jnp.ceil(max_std_dev * pt), 0.0
+            ),
         )
 
     # View-dependent color, directions from camera center to each gaussian.

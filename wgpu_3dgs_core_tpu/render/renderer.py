@@ -94,8 +94,8 @@ def render(
                              jnp.float32)
         splats = splats._replace(
             conic=jnp.broadcast_to(conic_pt, splats.conic.shape),
-            radius=jnp.where(
-                splats.mask, jnp.ceil(max_std_dev * pt), 0.0
+            extent=jnp.where(
+                splats.mask[:, None], jnp.ceil(max_std_dev * pt), 0.0
             ),
         )
 
@@ -106,7 +106,7 @@ def render(
     rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)
 
     tiles, overflow = rasterize_splats(
-        splats.xy, splats.depth, splats.conic, splats.radius, splats.mask,
+        splats.xy, splats.depth, splats.conic, splats.extent, splats.mask,
         rgb, opacity, tiles_x, tiles_y, f_cap, chunk, tuple(background),
         cutoff_sq=float(max_std_dev) ** 2, mode=int(display_mode),
     )
@@ -118,7 +118,7 @@ def render(
     )
 
 
-def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
+def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
                      tiles_x: int, tiles_y: int, f_cap: int, chunk: int,
                      background: tuple, tile_y_offset=0,
                      cutoff_sq: float = 9.0, mode: int = 0):
@@ -133,7 +133,7 @@ def rasterize_splats(xy, depth, conic, radius, mask, rgb, opacity,
     w_cap = n_blocks + t_total
 
     stream = bin_splats(
-        xy, radius, depth, mask, tiles_x, tiles_y, f_cap, tile_y_offset
+        xy, extent, depth, mask, tiles_x, tiles_y, f_cap, tile_y_offset
     )
     sched = build_work_schedule(stream, chunk, w_cap, n_blocks)
     work_new = jnp.concatenate(

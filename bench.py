@@ -43,10 +43,16 @@ def main():
     parser.add_argument("--gaussians", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
-    parser.add_argument("--max-fragments", type=int, default=8_388_608)
+    # Capacity sized to the scene: the synthetic cloud measures ~2.6
+    # fragments/gaussian (elliptical bboxes), so 4.2M gives 1.6x headroom
+    # at 1M gaussians. Every fragment-scale op (sort, scan, gathers) costs
+    # proportional to this STATIC capacity, not the live fragment count —
+    # oversizing it is pure overhead. Overflow is still checked every run.
+    parser.add_argument("--max-fragments", type=int, default=4_194_304)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--sh-deg", type=int, default=3)
+    parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--small", action="store_true",
                         help="tiny config for smoke testing")
     args = parser.parse_args()
@@ -57,7 +63,15 @@ def main():
         args.max_fragments = 262_144
         args.iters, args.warmup = 3, 1
 
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from wgpu_3dgs_core_tpu import Camera, render
@@ -73,6 +87,7 @@ def main():
         res = render(
             means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
             background=(0.0, 0.0, 0.0), max_fragments=args.max_fragments,
+            chunk=args.chunk,
         )
         return jnp.mean((res.image - target) ** 2), res.overflow
 

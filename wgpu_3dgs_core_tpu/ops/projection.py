@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..render.camera import Camera
@@ -45,6 +46,7 @@ def project(
     size: float = 1.0,
     radius_cutoff: float = RADIUS_CUTOFF,
     antialiased: bool = False,
+    opacity: Optional[jnp.ndarray] = None,
 ) -> ProjectedSplats:
     """Project gaussians to screen space.
 
@@ -61,6 +63,13 @@ def project(
     spz.rs:565-567 stores it; the renderer behavior is the standard
     opacity compensation sqrt(det(Sigma)/det(Sigma+blur)) so splats
     shrunk below the low-pass dilation fade instead of popping).
+    ``opacity``: optional [N] used ONLY to tighten the binning extent.
+    The blend kernels zero any fragment with alpha < 1/255, and
+    alpha = opacity * exp(-q/2) >= 1/255 requires
+    q <= 2 ln(255 * opacity) — so clamping the extent to that radius is
+    image-exact (it only excludes pixels both renderers already drop).
+    Not valid for the ellipse display mode, whose ring alpha does not
+    decay with q; pass None there.
     """
     view = camera.view_matrix()
     r_view = view[:3, :3]
@@ -129,8 +138,15 @@ def project(
     # the circumscribed circle of the major axis (up to sqrt(l2/l1) smaller
     # per axis for anisotropic splats), and still exact: binning by this
     # bbox never drops a pixel with q inside the cutoff.
-    ex = jnp.ceil(radius_cutoff * jnp.sqrt(jnp.maximum(c00, 0.0)))
-    ey = jnp.ceil(radius_cutoff * jnp.sqrt(jnp.maximum(c11, 0.0)))
+    cutoff = jnp.asarray(radius_cutoff, jnp.float32)
+    if opacity is not None:
+        # Opacity-aware cutoff (exact under the ALPHA_MIN floor; see
+        # docstring). stop_gradient: binning extent is non-differentiable.
+        op = jax.lax.stop_gradient(jnp.maximum(opacity, 0.0))
+        q_max = 2.0 * jnp.log(jnp.maximum(255.0 * op, 1e-12))
+        cutoff = jnp.minimum(cutoff, jnp.sqrt(jnp.maximum(q_max, 0.0)))
+    ex = jnp.ceil(cutoff * jnp.sqrt(jnp.maximum(c00, 0.0)))
+    ey = jnp.ceil(cutoff * jnp.sqrt(jnp.maximum(c11, 0.0)))
     extent = jnp.where(valid[:, None], jnp.stack([ex, ey], axis=-1), 0.0)
 
     # Pixel coordinates of the mean.

@@ -93,7 +93,8 @@ def render_sharded(
     )
     def step(means_l, cov_l, color_l, opac_l, sh_l):
         # Local projection + color of this device's gaussian shard.
-        splats = project(means_l, cov_l, camera, antialiased=antialiased)
+        splats = project(means_l, cov_l, camera, antialiased=antialiased,
+                         opacity=opac_l)
         opac_l = opac_l * splats.compensation
         dirs = means_l - cam_pos
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)

@@ -83,9 +83,13 @@ def render(
     n_blocks = f_cap // chunk
     w_cap = n_blocks + t_total
 
-    splats = project(means, cov3d_sigma6, camera, model_transform,
-                     size=size, radius_cutoff=max_std_dev,
-                     antialiased=antialiased)
+    splats = project(
+        means, cov3d_sigma6, camera, model_transform,
+        size=size, radius_cutoff=max_std_dev, antialiased=antialiased,
+        opacity=(
+            opacity if display_mode == GaussianDisplayMode.SPLAT else None
+        ),
+    )
     opacity = opacity * splats.compensation
     if display_mode == GaussianDisplayMode.POINT:
         # Fixed-size isotropic dot of ~``size`` pixels std dev.

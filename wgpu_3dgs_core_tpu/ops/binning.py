@@ -88,11 +88,14 @@ def bin_splats(
     tiles_y: int,
     max_fragments: int,
     tile_y_offset=0,
+    expand_impl: str = "pallas",
 ) -> FragmentStream:
     """Expand gaussians into a (tile, depth)-sorted fragment stream.
 
     With ``tile_y_offset``, bins only the ``tiles_y``-row strip starting at
     that global tile row (local tile ids), for strip-parallel rendering.
+    ``expand_impl``: "pallas" (one-hot MXU window kernel, ops/expand.py) or
+    "xla" (scan + fragment-scale gather) — identical outputs.
     """
     n = xy.shape[0]
     t_total = tiles_x * tiles_y
@@ -118,10 +121,55 @@ def bin_splats(
     total = offsets[-1] + counts[-1] if n else jnp.int32(0)
     overflow = total > max_fragments
 
-    # Owner gaussian of each slot. A searchsorted(offsets, slots) costs
-    # ~1.5 s at 8M fragments on TPU; scattering each non-empty gaussian's
-    # index at its segment start (non-empty starts are distinct) and
-    # running-maxing forward is equivalent and much cheaper.
+    from .expand import EXPAND_BLOCK
+
+    if expand_impl == "pallas" and max_fragments % EXPAND_BLOCK == 0:
+        from .expand import build_segment_table, expand_fragments
+
+        tab_t = build_segment_table(
+            offsets, counts, span_x, x0, y0, depth_order
+        )
+        tile, gid_unsorted = expand_fragments(
+            tab_t, total, max_fragments, tiles_x, t_total
+        )
+    else:
+        tile, gid_unsorted = _expand_xla(
+            offsets, counts, span_x, x0, y0, depth_order, total,
+            max_fragments, tiles_x, t_total, n,
+        )
+
+    # Single stable sort carrying the original gaussian id as payload.
+    tile_sorted, gauss_id = jax.lax.sort(
+        (tile, gid_unsorted), num_keys=1, is_stable=True
+    )
+
+    tile_ids = jnp.arange(t_total, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(
+        jnp.int32
+    )
+
+    return FragmentStream(
+        gauss_id=gauss_id,
+        tile_id=tile_sorted,
+        num_fragments=jnp.minimum(total, max_fragments).astype(jnp.int32),
+        overflow=overflow,
+        tile_start=tile_start,
+        tile_end=tile_end,
+    )
+
+
+def _expand_xla(offsets, counts, span_x, x0, y0, depth_order, total,
+                max_fragments, tiles_x, t_total, n):
+    """Fragment expansion via XLA scan + gather (reference implementation).
+
+    Owner gaussian of each slot: a searchsorted(offsets, slots) costs
+    ~1.5 s at 8M fragments on TPU; scattering each non-empty gaussian's
+    index at its segment start (non-empty starts are distinct) and
+    running-maxing forward is equivalent and much cheaper.
+    """
     slot = jnp.arange(max_fragments, dtype=jnp.int32)
     start_idx = jnp.where(counts > 0, offsets, max_fragments)  # OOB -> drop
     starts = jnp.zeros(max_fragments, jnp.int32).at[start_idx].max(
@@ -143,28 +191,7 @@ def bin_splats(
     tile = (seg[:, 3] + dy) * tiles_x + (seg[:, 2] + dx)
     valid = slot < total
     tile = jnp.where(valid, tile, t_total).astype(jnp.int32)
-
-    # Single stable sort carrying the original gaussian id as payload.
-    tile_sorted, gauss_id = jax.lax.sort(
-        (tile, seg[:, 4].astype(jnp.int32)), num_keys=1, is_stable=True
-    )
-
-    tile_ids = jnp.arange(t_total, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    tile_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(
-        jnp.int32
-    )
-
-    return FragmentStream(
-        gauss_id=gauss_id,
-        tile_id=tile_sorted,
-        num_fragments=jnp.minimum(total, max_fragments).astype(jnp.int32),
-        overflow=overflow,
-        tile_start=tile_start,
-        tile_end=tile_end,
-    )
+    return tile, seg[:, 4].astype(jnp.int32)
 
 
 def build_work_schedule(stream: FragmentStream, chunk_size: int,

@@ -1,0 +1,176 @@
+"""Pallas fragment expansion: gaussian segments -> (tile, gid) stream.
+
+Replaces the fragment-scale XLA ops in the expansion half of binning
+(``associative_scan`` owner search + the [F, 5] segment-table row gather;
+see ops/binning.py) with one Pallas kernel built on a bounded one-hot MXU
+contraction (PERF_NOTES.md item 2):
+
+- Gaussians with zero fragments are compacted out of the segment table, so
+  every table row owns >= 1 fragment and the owners of any K consecutive
+  fragments occupy <= K *contiguous* table rows.
+- Each grid step therefore only needs a 2-block aligned window of the
+  (transposed) segment table. The owner of each fragment is found by
+  comparing the fragment index against the window's [offset, offset+count)
+  ranges, and the owner's attributes are fetched with a single
+  [8, 2K] x [2K, K] one-hot matmul on the MXU — a gather with no gather.
+
+All remaining host-side work (cumsum, compaction scatter, window index
+searchsorted) is at gaussian (N) or block (F/K) scale, never fragment scale.
+
+The reference crate has no analog (its binning lives downstream of
+wgpu-3dgs-core); this implements SURVEY.md §7 M4/M7 hard part #1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernel_bundle import interpret_mode
+
+# Fragment block size: one grid step expands this many fragments. Lane
+# width 256 keeps the one-hot [K, 2K] compare and the [8, 2K] x [2K, K]
+# matmul MXU/VPU friendly.
+EXPAND_BLOCK = 256
+
+# Segment-table rows (attribute-major, transposed for lane-major access).
+ROW_OFFSET = 0  # exclusive fragment offset of this gaussian
+ROW_COUNT = 1  # fragment count (>= 1 after compaction)
+ROW_SPAN = 2  # bbox tile width, max(span_x, 1)
+ROW_X0 = 3  # first tile column
+ROW_Y0 = 4  # first tile row
+ROW_GID = 5  # original gaussian index (pre-depth-sort)
+TAB_ROWS = 8  # padded to a sublane multiple
+
+# f32 holds integers exactly up to 2^24: offsets/gids ride the MXU as f32.
+_F32_EXACT = float(1 << 24)
+
+
+def _expand_kernel(win0_ref, total_ref, t0_ref, t1_ref, out_ref, *,
+                   k: int, tiles_x: int, t_total: int):
+    b = pl.program_id(0)
+    del win0_ref  # only consumed by the index maps
+
+    win = jnp.concatenate([t0_ref[...], t1_ref[...]], axis=1)  # [8, 2K]
+    off = win[ROW_OFFSET : ROW_OFFSET + 1, :]
+    cnt = win[ROW_COUNT : ROW_COUNT + 1, :]
+
+    fi_row = b * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    f_col = (b * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)).astype(
+        jnp.float32
+    )
+
+    # One-hot owner membership: off <= f < off + cnt. Rows are compacted
+    # (cnt >= 1), so exactly one column matches per in-range fragment.
+    oh = ((off <= f_col) & (f_col < off + cnt)).astype(jnp.float32)  # [K, 2K]
+
+    # Gather-by-matmul: [8, 2K] x [2K, K] -> the owner's attribute column
+    # per fragment. All values are small integers, exact in f32.
+    attrs = jax.lax.dot_general(
+        win, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [8, K]
+
+    f_row = fi_row.astype(jnp.float32)
+    rank = f_row - attrs[ROW_OFFSET : ROW_OFFSET + 1, :]
+    span = jnp.maximum(attrs[ROW_SPAN : ROW_SPAN + 1, :], 1.0)
+    dy = jnp.floor(rank / span)
+    dx = rank - dy * span
+    tile = (attrs[ROW_Y0 : ROW_Y0 + 1, :] + dy) * float(tiles_x) + (
+        attrs[ROW_X0 : ROW_X0 + 1, :] + dx
+    )
+
+    valid = fi_row < total_ref[0]
+    tile_i = jnp.where(valid, tile.astype(jnp.int32), t_total)
+    gid_i = jnp.where(
+        valid, attrs[ROW_GID : ROW_GID + 1, :].astype(jnp.int32), 0
+    )
+    out_ref[...] = jnp.concatenate([tile_i, gid_i], axis=0)
+
+
+def build_segment_table(offsets: jnp.ndarray, counts: jnp.ndarray,
+                        span_x: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                        gid: jnp.ndarray, k: int = EXPAND_BLOCK):
+    """Compact nonzero-count gaussians into a transposed segment table.
+
+    Returns ``tabT`` [8, n_pad + k] f32 with pad rows that never match
+    (offset 2^24, count 0). All ops here are N-scale (one cumsum + one
+    scatter row-set).
+    """
+    n = counts.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("expand kernel requires N < 2^24 (f32-exact ids)")
+    n_pad = -(-max(n, 1) // k) * k + k
+
+    nz = counts > 0
+    dst = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    dst = jnp.where(nz, dst, n_pad + k)  # OOB -> dropped by the scatter
+
+    cols = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            counts.astype(jnp.float32),
+            jnp.maximum(span_x, 1).astype(jnp.float32),
+            x0.astype(jnp.float32),
+            y0.astype(jnp.float32),
+            gid.astype(jnp.float32),
+            jnp.zeros_like(offsets, jnp.float32),
+            jnp.zeros_like(offsets, jnp.float32),
+        ],
+        axis=0,
+    )  # [8, N]
+
+    init = jnp.zeros((TAB_ROWS, n_pad), jnp.float32)
+    init = init.at[ROW_OFFSET].set(_F32_EXACT)
+    tab_t = init.at[:, dst].set(cols, mode="drop")
+    return tab_t
+
+
+def expand_fragments(tab_t: jnp.ndarray, total: jnp.ndarray, f_cap: int,
+                     tiles_x: int, t_total: int,
+                     k: int = EXPAND_BLOCK):
+    """Expand the compacted segment table into (tile, gid) streams.
+
+    ``tab_t``: [8, n_pad] from :func:`build_segment_table`.
+    ``total``: scalar int32 live-fragment count (= offsets[-1] + counts[-1]).
+    Returns ``tile`` [f_cap] int32 (== t_total on padding slots) and
+    ``gid`` [f_cap] int32, in gaussian-major (depth) order.
+    """
+    assert f_cap % k == 0, "fragment capacity must be a block multiple"
+    n_blocks = f_cap // k
+    n_win = tab_t.shape[1] // k
+
+    # Window base per fragment block: the aligned table block containing the
+    # owner of the block's first fragment. Block-scale searchsorted (F/K
+    # queries into the offset row).
+    block_first = (
+        jnp.searchsorted(
+            tab_t[ROW_OFFSET], jnp.arange(n_blocks, dtype=jnp.int32) * k,
+            side="right",
+        ).astype(jnp.int32)
+        - 1
+    )
+    win0 = jnp.clip(block_first // k, 0, n_win - 2).astype(jnp.int32)
+    total32 = jnp.reshape(total.astype(jnp.int32), (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
+            pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b] + 1)),
+        ],
+        out_specs=pl.BlockSpec((2, k), lambda b, w0, tt: (0, b)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_expand_kernel, k=k, tiles_x=tiles_x,
+                          t_total=t_total),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, f_cap), jnp.int32),
+        interpret=interpret_mode(),
+    )(win0, total32, tab_t, tab_t)
+    return out[0], out[1]

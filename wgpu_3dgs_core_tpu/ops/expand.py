@@ -14,6 +14,14 @@ contraction (PERF_NOTES.md item 2):
   ranges, and the owner's attributes are fetched with a single
   [8, 2K] x [2K, K] one-hot matmul on the MXU — a gather with no gather.
 
+MXU exactness: the TPU contracts f32 as bf16 multi-pass. Even at
+``precision=HIGHEST`` (fp32 contract = bf16x3) a product a*1 is exact only
+while ``a`` fits in 16 mantissa bits (hi8 + lo8); measured on hardware,
+DEFAULT precision corrupts 2^22-scale integers by ~24k and HIGHEST by ~1.
+Values that can exceed 2^16 (fragment offsets, gaussian ids, up to 2^24)
+are therefore stored as hi/lo 12-bit halves in separate table rows — each
+half is exact under bf16x3 — and recombined after the contraction.
+
 All remaining host-side work (cumsum, compaction scatter, window index
 searchsorted) is at gaussian (N) or block (F/K) scale, never fragment scale.
 
@@ -38,25 +46,35 @@ from .kernel_bundle import interpret_mode
 EXPAND_BLOCK = 256
 
 # Segment-table rows (attribute-major, transposed for lane-major access).
-ROW_OFFSET = 0  # exclusive fragment offset of this gaussian
-ROW_COUNT = 1  # fragment count (>= 1 after compaction)
-ROW_SPAN = 2  # bbox tile width, max(span_x, 1)
-ROW_X0 = 3  # first tile column
-ROW_Y0 = 4  # first tile row
-ROW_GID = 5  # original gaussian index (pre-depth-sort)
-TAB_ROWS = 8  # padded to a sublane multiple
+# offset/gid are split into 12-bit halves for MXU-exact contraction.
+ROW_OFF_HI = 0  # exclusive fragment offset >> 12
+ROW_OFF_LO = 1  # exclusive fragment offset & 0xfff
+ROW_COUNT = 2  # fragment count (>= 1 after compaction, <= tiles)
+ROW_SPAN = 3  # bbox tile width, max(span_x, 1)
+ROW_X0 = 4  # first tile column
+ROW_Y0 = 5  # first tile row
+ROW_GID_HI = 6  # original gaussian index >> 12
+ROW_GID_LO = 7  # original gaussian index & 0xfff
+TAB_ROWS = 8
 
-# f32 holds integers exactly up to 2^24: offsets/gids ride the MXU as f32.
+_SPLIT = 4096.0  # 12-bit split base
+# f32 holds integers exactly up to 2^24: offsets/gids are compared (VPU,
+# exact) at full width and contracted (MXU) as 12-bit halves.
 _F32_EXACT = float(1 << 24)
+_HIGH = jax.lax.Precision.HIGHEST
 
 
-def _expand_kernel(win0_ref, total_ref, t0_ref, t1_ref, out_ref, *,
-                   k: int, tiles_x: int, t_total: int):
-    b = pl.program_id(0)
-    del win0_ref  # only consumed by the index maps
+def expand_math(b, total_ref, t0_ref, t1_ref, *, k: int, tiles_x: int):
+    """Shared per-block expansion: owner lookup + (tile, gid) rows.
 
+    Returns f32 rows ``tile`` [1, K] (exact integers), ``gid`` [1, K], and
+    bool ``valid`` [1, K]. Used by both the expansion and the placement
+    kernels.
+    """
     win = jnp.concatenate([t0_ref[...], t1_ref[...]], axis=1)  # [8, 2K]
-    off = win[ROW_OFFSET : ROW_OFFSET + 1, :]
+    off = win[ROW_OFF_HI : ROW_OFF_HI + 1, :] * _SPLIT + (
+        win[ROW_OFF_LO : ROW_OFF_LO + 1, :]
+    )
     cnt = win[ROW_COUNT : ROW_COUNT + 1, :]
 
     fi_row = b * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
@@ -64,31 +82,45 @@ def _expand_kernel(win0_ref, total_ref, t0_ref, t1_ref, out_ref, *,
         jnp.float32
     )
 
-    # One-hot owner membership: off <= f < off + cnt. Rows are compacted
-    # (cnt >= 1), so exactly one column matches per in-range fragment.
-    oh = ((off <= f_col) & (f_col < off + cnt)).astype(jnp.float32)  # [K, 2K]
+    # One-hot owner membership: off <= f < off + cnt (VPU compare, exact
+    # f32). Rows are compacted (cnt >= 1), so exactly one column matches
+    # per in-range fragment.
+    oh = ((off <= f_col) & (f_col < off + cnt)).astype(jnp.float32)  # [K,2K]
 
     # Gather-by-matmul: [8, 2K] x [2K, K] -> the owner's attribute column
-    # per fragment. All values are small integers, exact in f32.
+    # per fragment. Row values < 2^13, exact under bf16x3 (HIGHEST).
     attrs = jax.lax.dot_general(
         win, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HIGH,
     )  # [8, K]
+    attrs = jnp.round(attrs)
 
     f_row = fi_row.astype(jnp.float32)
-    rank = f_row - attrs[ROW_OFFSET : ROW_OFFSET + 1, :]
+    off_o = attrs[ROW_OFF_HI : ROW_OFF_HI + 1, :] * _SPLIT + (
+        attrs[ROW_OFF_LO : ROW_OFF_LO + 1, :]
+    )
+    gid = attrs[ROW_GID_HI : ROW_GID_HI + 1, :] * _SPLIT + (
+        attrs[ROW_GID_LO : ROW_GID_LO + 1, :]
+    )
+    rank = f_row - off_o
     span = jnp.maximum(attrs[ROW_SPAN : ROW_SPAN + 1, :], 1.0)
     dy = jnp.floor(rank / span)
     dx = rank - dy * span
     tile = (attrs[ROW_Y0 : ROW_Y0 + 1, :] + dy) * float(tiles_x) + (
         attrs[ROW_X0 : ROW_X0 + 1, :] + dx
     )
-
     valid = fi_row < total_ref[0]
-    tile_i = jnp.where(valid, tile.astype(jnp.int32), t_total)
-    gid_i = jnp.where(
-        valid, attrs[ROW_GID : ROW_GID + 1, :].astype(jnp.int32), 0
+    return tile, gid, valid, fi_row
+
+
+def _expand_kernel(win0_ref, total_ref, t0_ref, t1_ref, out_ref, *,
+                   k: int, tiles_x: int, t_total: int):
+    del win0_ref  # only consumed by the index maps
+    tile, gid, valid, _ = expand_math(
+        pl.program_id(0), total_ref, t0_ref, t1_ref, k=k, tiles_x=tiles_x
     )
+    tile_i = jnp.where(valid, tile.astype(jnp.int32), t_total)
+    gid_i = jnp.where(valid, gid.astype(jnp.int32), 0)
     out_ref[...] = jnp.concatenate([tile_i, gid_i], axis=0)
 
 
@@ -110,22 +142,23 @@ def build_segment_table(offsets: jnp.ndarray, counts: jnp.ndarray,
     dst = jnp.cumsum(nz.astype(jnp.int32)) - 1
     dst = jnp.where(nz, dst, n_pad + k)  # OOB -> dropped by the scatter
 
+    split = jnp.int32(1 << 12)
     cols = jnp.stack(
         [
-            offsets.astype(jnp.float32),
+            (offsets // split).astype(jnp.float32),
+            (offsets % split).astype(jnp.float32),
             counts.astype(jnp.float32),
             jnp.maximum(span_x, 1).astype(jnp.float32),
             x0.astype(jnp.float32),
             y0.astype(jnp.float32),
-            gid.astype(jnp.float32),
-            jnp.zeros_like(offsets, jnp.float32),
-            jnp.zeros_like(offsets, jnp.float32),
+            (gid // split).astype(jnp.float32),
+            (gid % split).astype(jnp.float32),
         ],
         axis=0,
     )  # [8, N]
 
     init = jnp.zeros((TAB_ROWS, n_pad), jnp.float32)
-    init = init.at[ROW_OFFSET].set(_F32_EXACT)
+    init = init.at[ROW_OFF_HI].set(_F32_EXACT / _SPLIT)
     tab_t = init.at[:, dst].set(cols, mode="drop")
     return tab_t
 
@@ -147,9 +180,11 @@ def expand_fragments(tab_t: jnp.ndarray, total: jnp.ndarray, f_cap: int,
     # Window base per fragment block: the aligned table block containing the
     # owner of the block's first fragment. Block-scale searchsorted (F/K
     # queries into the offset row).
+    off_full = tab_t[ROW_OFF_HI] * _SPLIT + tab_t[ROW_OFF_LO]
     block_first = (
         jnp.searchsorted(
-            tab_t[ROW_OFFSET], jnp.arange(n_blocks, dtype=jnp.int32) * k,
+            off_full,
+            (jnp.arange(n_blocks, dtype=jnp.int32) * k).astype(jnp.float32),
             side="right",
         ).astype(jnp.int32)
         - 1

@@ -80,11 +80,14 @@ def project(
     if model_transform is not None:
         m_pos, m_rot, m_scale = model_transform
         sr = quat_to_mat3(m_rot) * m_scale[None, :]  # 3x3
-        means = means @ sr.T + m_pos
-        sigma = jnp.einsum("ij,njk,lk->nil", sr, sigma, sr)
+        means = jnp.einsum("ni,ji->nj", means, sr,
+                           precision=jax.lax.Precision.HIGHEST) + m_pos
+        sigma = jnp.einsum("ij,njk,lk->nil", sr, sigma, sr,
+                           precision=jax.lax.Precision.HIGHEST)
 
     # World -> camera.
-    t = means @ r_view.T + t_view  # [N, 3]
+    t = jnp.einsum("ni,ji->nj", means, r_view,
+                   precision=jax.lax.Precision.HIGHEST) + t_view  # [N, 3]
     tz = t[..., 2]
 
     # Frustum cull with a margin (as in 3DGS: cull means far outside).
@@ -104,7 +107,8 @@ def project(
     j12 = -fy * tyz / tz_safe
 
     # V = W Sigma W^T (camera-space covariance).
-    v = jnp.einsum("ij,njk,lk->nil", r_view, sigma, r_view)
+    v = jnp.einsum("ij,njk,lk->nil", r_view, sigma, r_view,
+                   precision=jax.lax.Precision.HIGHEST)
 
     # Sigma2D = J V J^T with J = [[j00, 0, j02], [0, j11, j12]].
     v00, v01, v02 = v[..., 0, 0], v[..., 0, 1], v[..., 0, 2]

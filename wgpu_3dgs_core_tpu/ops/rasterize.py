@@ -49,6 +49,13 @@ ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
 Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
 
+# The TPU contracts f32 operands as bf16 multi-pass; at DEFAULT precision
+# that is a single bf16 pass (~2^-8 relative), which wrecks the quadratic
+# form (catastrophic cancellation against coefficients ~10^3) and the
+# transmittance cumsum (T error ~1%). HIGHEST (fp32 contract = bf16x3)
+# restores ~f32 accuracy; measured on hardware via tools/ probes.
+_HIGH = jax.lax.Precision.HIGHEST
+
 # Work-item info packing: SMEM is ~1 MB/core, and at 1M-gaussian/1080p
 # scale six separate int32 prefetch arrays exceed it — tile id and the
 # four flags share one int32 per work item instead.
@@ -114,7 +121,7 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
     basis = jnp.concatenate(
         [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
     )  # [PIX, 6]
-    q = jnp.dot(basis, coef, preferred_element_type=jnp.float32)
+    q = jnp.dot(basis, coef, preferred_element_type=jnp.float32, precision=_HIGH)
 
     if need_dxdy:
         dx = px - x_l  # [PIX, K]; local coords cancel identically
@@ -178,7 +185,7 @@ def _fwd_kernel(
 
     log1m = jnp.log1p(-alpha)
     ecs = jnp.dot(log1m, _tri(chunk, strict=True),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32, precision=_HIGH)
 
     t_run = state_ref[:, 3:4]
     t_i = t_run * jnp.exp(ecs)  # [PIX, K]
@@ -190,7 +197,7 @@ def _fwd_kernel(
     c_rows = frag_ref[5:8, :]  # [3, K]
     state_ref[:, 0:3] += jax.lax.dot_general(
         wgt, c_rows, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HIGH,
     )
     state_ref[:, 3:4] = t_run * jnp.exp(
         jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
@@ -268,7 +275,7 @@ def _bwd_kernel(
     log1m = jnp.log1p(-alpha)
     tri_excl = _tri(chunk, strict=True)
     tri_incl = _tri(chunk, strict=False)
-    ecs = jnp.dot(log1m, tri_excl, preferred_element_type=jnp.float32)
+    ecs = jnp.dot(log1m, tri_excl, preferred_element_type=jnp.float32, precision=_HIGH)
 
     t_run = state_ref[:, 3:4]
     t_i = t_run * jnp.exp(ecs)
@@ -290,20 +297,21 @@ def _bwd_kernel(
     c_rows = frag_ref[5:8, :]  # [3, K]
     u = jax.lax.dot_general(
         g3, c_rows, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HIGH,
     )  # [PIX, K]
     g_cbl_a = jnp.sum(
         g3 * (state_ref[:, 9:12] - state_ref[:, 0:3]), axis=1, keepdims=True
     )  # [PIX, 1]
     gs_i = g_cbl_a - jnp.dot(
-        wgt * u, tri_incl, preferred_element_type=jnp.float32
+        wgt * u, tri_incl, preferred_element_type=jnp.float32,
+        precision=_HIGH,
     )
     dalpha = t_i * u - gs_i / one_minus - g_t_total * t_f / one_minus
     # color gradient: dL/dc_ich = sum_pix g_ch w_i — one [3,PIX]x[PIX,K]
     # MXU contraction.
     dfrag_ref[5:8, :] += jax.lax.dot_general(
         g3, wgt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HIGH,
     )
     dalpha = jnp.where(blend & ok, dalpha, 0.0)
 
@@ -330,7 +338,7 @@ def _bwd_kernel(
     # advance prefix accumulators
     state_ref[:, 0:3] += jax.lax.dot_general(
         wgt, c_rows, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HIGH,
     )
     state_ref[:, 3:4] = t_run * jnp.exp(
         jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)

@@ -9,6 +9,7 @@ consumer shaders.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,7 +45,8 @@ def cov3d_from_rot_scale(rot: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """
     r = quat_to_mat3(rot)
     m = r * scale[..., None, :]
-    sigma = jnp.einsum("...ik,...jk->...ij", m, m)
+    sigma = jnp.einsum("...ik,...jk->...ij", m, m,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.stack(
         [
             sigma[..., 0, 0],
@@ -133,7 +135,8 @@ def model_to_world(pos: jnp.ndarray, rot: jnp.ndarray, scale: jnp.ndarray,
     (reference: src/shader/model_transform.wesl:13-15)."""
     m = model_transform_mat(pos, rot, scale)
     ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-    return jnp.einsum("...ij,...j->...i", m, ph)
+    return jnp.einsum("...ij,...j->...i", m, ph,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def model_scale_rot_mat(rot: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:

@@ -77,7 +77,8 @@ def render_sharded(
     use_sh = sh is not None
 
     view = camera.view_matrix()
-    cam_pos = -view[:3, :3].T @ view[:3, 3]
+    cam_pos = -jnp.einsum("ji,j->i", view[:3, :3], view[:3, 3],
+                          precision=jax.lax.Precision.HIGHEST)
 
     in_specs = (
         P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),

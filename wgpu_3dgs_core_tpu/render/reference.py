@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.projection import project
@@ -91,7 +92,8 @@ def render_reference(
 
     # View-dependent color, directions from camera center to each gaussian.
     view = camera.view_matrix()
-    cam_pos = -view[:3, :3].T @ view[:3, 3]
+    cam_pos = -jnp.einsum("ji,j->i", view[:3, :3], view[:3, 3],
+                          precision=jax.lax.Precision.HIGHEST)
     dirs = means - cam_pos
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
     rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)  # [N, 3]
@@ -127,7 +129,8 @@ def render_reference(
     alpha = jnp.where(ok, alpha, 0.0)
 
     w, t_final = blend_weights(alpha)
-    color = jnp.einsum("np,nc->pc", w, rgb)  # [P, 3]
+    color = jnp.einsum("np,nc->pc", w, rgb,
+                       precision=jax.lax.Precision.HIGHEST)  # [P, 3]
     bg = jnp.asarray(background, jnp.float32)
     img = color + t_final[:, None] * bg
     return img.reshape(h, w_px, 3)

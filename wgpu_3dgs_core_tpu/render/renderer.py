@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..buffer import (
@@ -104,7 +105,8 @@ def render(
         )
 
     view = camera.view_matrix()
-    cam_pos = -view[:3, :3].T @ view[:3, 3]
+    cam_pos = -jnp.einsum("ji,j->i", view[:3, :3], view[:3, 3],
+                          precision=jax.lax.Precision.HIGHEST)
     dirs = means - cam_pos
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
     rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)

@@ -59,6 +59,9 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--chain", type=int, default=8)
     p.add_argument("--sh-deg", type=int, default=3)
+    p.add_argument("--skip-chain", action="store_true",
+                   help="skip the chained-step probe (its own jit signature "
+                        "costs a fresh multi-minute remote compile)")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -134,15 +137,16 @@ def main():
                               args.iters, sync_scalarish)
     results["project_ms"] = timed("project only", project_only, scene,
                                   args.iters, sync_scalarish)
-    chain_ms = timed("chained x%d step" % args.chain, step_chain, scene,
-                     max(args.iters // 4, 2), sync_scalarish)
-    results["chain_step_ms"] = chain_ms / args.chain
+    if not args.skip_chain:
+        chain_ms = timed("chained x%d step" % args.chain, step_chain, scene,
+                         max(args.iters // 4, 2), sync_scalarish)
+        results["chain_step_ms"] = chain_ms / args.chain
+        results["dispatch_overhead_ms"] = (
+            results["step_ms"] - results["chain_step_ms"]
+        )
 
     results["bwd_ms"] = results["step_ms"] - results["fwd_ms"]
     results["raster_fwd_ms"] = results["fwd_ms"] - results["bin_ms"]
-    results["dispatch_overhead_ms"] = (
-        results["step_ms"] - results["chain_step_ms"]
-    )
     print(json.dumps(results), flush=True)
 
 

@@ -76,8 +76,14 @@ def _place_kernel(win0_ref, total_ref, t0_ref, t1_ref, ts_ref, out_ref,
     hi_row = jnp.floor(tile / float(_LO_LANES))  # [1, K]
     lo_row = tile - hi_row * float(_LO_LANES)
 
-    iota_h = jax.lax.broadcasted_iota(jnp.float32, (h_rows, 1), 0)
-    iota_l = jax.lax.broadcasted_iota(jnp.float32, (_LO_LANES, 1), 0)
+    # Mosaic cannot lower a float iota (tpu.iota -> vector<...xf32> fails
+    # on hardware; interpret mode accepts it) — generate int32 and cast.
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h_rows, 1), 0).astype(
+        jnp.float32
+    )
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_LO_LANES, 1), 0).astype(
+        jnp.float32
+    )
     oh_hi = ((iota_h == hi_row) & valid).astype(jnp.float32)  # [H, K]
     oh_lo = ((iota_l == lo_row) & valid).astype(jnp.float32)  # [128, K]
 

@@ -69,6 +69,18 @@ def main():
     timed("gather_t", jax.jit(lambda ts, ti: ts[ti]), (tstart, tile),
           args.iters)
     timed("rowgather", jax.jit(lambda a, g: a[g].T), (attr, gid), args.iters)
+    drows = jnp.asarray(rng.random((f, 9)).astype(np.float32))
+    wide = jnp.asarray(rng.random((f, 16)).astype(np.float32))
+    # the actual bwd attr-gradient op: colliding row scatter-add into [N,9]
+    timed("scat_add9", jax.jit(lambda d, g: jnp.zeros(
+        (n, 9), jnp.float32).at[g].add(d)), (drows, gid), args.iters)
+    # fused-placement candidate: unique row scatter-set of [F,16] + transpose
+    timed("scat_set16", jax.jit(lambda v, p_: jnp.zeros(
+        (f, 16), jnp.float32).at[p_].set(v, unique_indices=True).T),
+        (wide, perm), args.iters)
+    # permutation row-gather of the wide cotangent (bwd of fused placement)
+    timed("rowgath16", jax.jit(lambda v, p_: v[p_]), (wide, perm),
+          args.iters)
     timed("gather_f", jax.jit(lambda g, p_: g[p_]), (gid, perm), args.iters)
     timed("scan_max", jax.jit(lambda x: jax.lax.associative_scan(
         jnp.maximum, x)), (gid,), args.iters)

@@ -76,8 +76,18 @@ def pack_work_info(tile, first, last, valid, new_block):
     ).astype(jnp.int32)
 
 
+def _pixel_basis(chunk):
+    """[PIX, 6] quadratic monomial basis at tile-local pixel centers."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (p % TILE_SIZE).astype(jnp.float32) + 0.5  # tile-local
+    py = (p // TILE_SIZE).astype(jnp.float32) + 0.5
+    return jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
+    )
+
+
 def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
-                  cutoff_sq=Q_CUTOFF, mode=0, need_dxdy=True):
+                  cutoff_sq=Q_CUTOFF, mode=0):
     """Shared fwd/bwd per-chunk math up to alpha. Returns per-fragment rows
     [1, K] and per-(pixel, fragment) [PIX, K] arrays. ``item_valid`` masks
     padding work items to no-ops (they revisit real tiles' ranges).
@@ -90,7 +100,6 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
     256 pixels is one [PIX,6] @ [6,K] contraction. Tile-local coordinates
     keep the expansion well-conditioned (|x_local| is bounded by the splat
     radius because fragments only exist in bbox-overlapping tiles).
-    ``need_dxdy=False`` (forward pass) skips materializing dx/dy.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     fidx = blk * chunk + lane
@@ -115,19 +124,9 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
         axis=0,
     )  # [6, K]
 
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (p % TILE_SIZE).astype(jnp.float32) + 0.5  # tile-local
-    py = (p // TILE_SIZE).astype(jnp.float32) + 0.5
-    basis = jnp.concatenate(
-        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
-    )  # [PIX, 6]
+    basis = _pixel_basis(chunk)  # [PIX, 6]
     q = jnp.dot(basis, coef, preferred_element_type=jnp.float32, precision=_HIGH)
 
-    if need_dxdy:
-        dx = px - x_l  # [PIX, K]; local coords cancel identically
-        dy = py - y_l
-    else:
-        dx = dy = None
     if mode == 1:
         # Ellipse outline: opaque ring at the cutoff boundary.
         g_exp = jnp.ones_like(q)
@@ -141,7 +140,7 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
         alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
         ok = inrange & (q <= cutoff_sq) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
-    return alpha, alpha_raw, g_exp, ok, dx, dy, q
+    return alpha, alpha_raw, g_exp, ok, x_l, y_l, q
 
 
 def _tri(chunk, strict):
@@ -180,7 +179,7 @@ def _fwd_kernel(
 
     alpha, _, _, _, _, _, _ = _chunk_alphas(
         frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
-        cutoff_sq, mode, need_dxdy=False,
+        cutoff_sq, mode,
     )
 
     log1m = jnp.log1p(-alpha)
@@ -264,12 +263,13 @@ def _bwd_kernel(
                 fwd_t[:, ch : ch + 1] - t_f * float(bg[ch])
             )
 
-    alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
+    alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
         frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
         cutoff_sq, mode,
     )
     c0 = frag_ref[2:3, :]
     c1 = frag_ref[3:4, :]
+    c2 = frag_ref[4:5, :]
     op = frag_ref[8:9, :]
 
     log1m = jnp.log1p(-alpha)
@@ -318,22 +318,47 @@ def _bwd_kernel(
     # alpha = min(0.99, op * G): clamp kills the gradient.
     live = alpha_raw < ALPHA_CLAMP
     dalpha = jnp.where(live, dalpha, 0.0)
-    d_op = dalpha * g_exp
-    d_g = dalpha * op
-    # Ellipse mode: alpha is flat inside the ring, no q gradient.
-    d_q = (d_g * (-0.5) * g_exp) if mode != 1 else jnp.zeros_like(d_g)
-    d_c0 = d_q * dx * dx
-    d_c1 = 2.0 * d_q * dx * dy
-    d_c2 = d_q * dy * dy
-    d_x = -d_q * (2.0 * c0 * dx + 2.0 * c1 * dy)
-    d_y = -d_q * (2.0 * frag_ref[4:5, :] * dy + 2.0 * c1 * dx)
 
-    dfrag_ref[0:1, :] += jnp.sum(d_x, axis=0, keepdims=True)
-    dfrag_ref[1:2, :] += jnp.sum(d_y, axis=0, keepdims=True)
-    dfrag_ref[2:3, :] += jnp.sum(d_c0, axis=0, keepdims=True)
-    dfrag_ref[3:4, :] += jnp.sum(d_c1, axis=0, keepdims=True)
-    dfrag_ref[4:5, :] += jnp.sum(d_c2, axis=0, keepdims=True)
-    dfrag_ref[8:9, :] += jnp.sum(d_op, axis=0, keepdims=True)
+    if mode != 1:
+        # Moment trick (PERF_NOTES item 3, backward half): q is linear in
+        # the six polynomial coefficients, so every per-pixel reduction
+        # collapses into M = basis^T @ d_q [6, K] — ONE MXU contraction —
+        # and the attribute gradients follow per fragment ([1, K] math)
+        # through coef(c0, c1, c2, x_l, y_l). d_op = sum_p dalpha * g_exp
+        # = (-2 / op) * sum_p d_q = -2 M_0 / op (exact where op > 0;
+        # op == 0 implies dalpha == 0, so the guard returns the true 0).
+        d_q = (-0.5) * op * (dalpha * g_exp)  # [PIX, K]
+        m = jax.lax.dot_general(
+            _pixel_basis(chunk), d_q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGH,
+        )  # [6, K]
+        m0 = m[0:1, :]
+        m1 = m[1:2, :]
+        m2 = m[2:3, :]
+        d_op = jnp.where(op > 0.0, -2.0 * m0 / op, 0.0)
+        d_c0 = m0 * x_l * x_l - 2.0 * x_l * m1 + m[3:4, :]
+        d_c1 = (
+            2.0 * m0 * x_l * y_l - 2.0 * y_l * m1 - 2.0 * x_l * m2
+            + 2.0 * m[4:5, :]
+        )
+        d_c2 = m0 * y_l * y_l - 2.0 * y_l * m2 + m[5:6, :]
+        d_x = m0 * (2.0 * c0 * x_l + 2.0 * c1 * y_l) - 2.0 * c0 * m1 \
+            - 2.0 * c1 * m2
+        d_y = m0 * (2.0 * c1 * x_l + 2.0 * c2 * y_l) - 2.0 * c1 * m1 \
+            - 2.0 * c2 * m2
+    else:
+        # Ellipse mode: alpha is flat inside the ring (g_exp == 1), so only
+        # opacity receives gradient.
+        zero = jnp.zeros((1, chunk), jnp.float32)
+        d_op = jnp.sum(dalpha, axis=0, keepdims=True)
+        d_c0 = d_c1 = d_c2 = d_x = d_y = zero
+
+    dfrag_ref[0:1, :] += d_x
+    dfrag_ref[1:2, :] += d_y
+    dfrag_ref[2:3, :] += d_c0
+    dfrag_ref[3:4, :] += d_c1
+    dfrag_ref[4:5, :] += d_c2
+    dfrag_ref[8:9, :] += d_op
 
     # advance prefix accumulators
     state_ref[:, 0:3] += jax.lax.dot_general(

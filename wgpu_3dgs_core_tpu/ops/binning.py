@@ -250,31 +250,48 @@ def build_work_schedule(stream: FragmentStream, chunk_size: int,
                         max_work: int, n_blocks: int) -> WorkSchedule:
     """(tile, chunk) schedule for the streaming rasterizer.
 
-    Every tile gets >= 1 work item (empty tiles still must write their
-    output block); a tile whose fragments span blocks [s//K, (e-1)//K] gets
-    one item per block. Padding work items point at the LAST tile and LAST
-    fragment block with first=last=0: the kernel revisits already-flushed
-    blocks as no-ops instead of clobbering earlier ones (output blocks are
-    only coherent while their grid indices stay monotone).
+    EMPTY tiles get no work item at all — their (never-visited, garbage)
+    output blocks are overwritten with the background outside the kernel
+    (render/renderer.py), so the grid only spends steps on tiles with
+    fragments. A nonempty tile whose fragments span blocks
+    [s//K, (e-1)//K] gets one item per block. Padding work items point at
+    the LAST nonempty tile and LAST fragment block with first=last=0: the
+    kernel revisits already-flushed blocks as no-ops instead of clobbering
+    earlier ones (output blocks are only coherent while their grid indices
+    stay monotone).
     """
     start = stream.tile_start
     end = stream.tile_end
     t_total = start.shape[0]
 
     first_blk = start // chunk_size
-    last_blk = jnp.where(end > start, (end - 1) // chunk_size, first_blk)
-    chunks = jnp.maximum(last_blk - first_blk + 1, 1)
+    nonempty = end > start
+    last_blk = jnp.where(nonempty, (end - 1) // chunk_size, first_blk)
+    chunks = jnp.where(nonempty, last_blk - first_blk + 1, 0)
 
     w_off = jnp.cumsum(chunks) - chunks
     total_work = w_off[-1] + chunks[-1]
+    # All tiles empty: keep >= 1 item so the grid is well-formed; it will
+    # be a padding no-op.
+    total_work = jnp.maximum(total_work, 1)
 
     wslot = jnp.arange(max_work, dtype=jnp.int32)
+    # side="right" maps a slot landing on tied offsets (zero-width = empty
+    # tiles) past every empty tile to the nonempty tile that owns the slot.
     t = jnp.searchsorted(w_off, wslot, side="right").astype(jnp.int32) - 1
     t = jnp.clip(t, 0, t_total - 1)
     k = wslot - w_off[t]
-    valid = wslot < total_work
+    valid = (wslot < total_work) & (chunks[t] > 0)
 
-    tile = jnp.where(valid, t, t_total - 1).astype(jnp.int32)
+    # Padding items target the last NONEMPTY tile (whose block was already
+    # flushed) so their output-block revisits are coherent.
+    last_live = jnp.maximum(
+        jnp.argmax(
+            jnp.where(nonempty, jnp.arange(t_total, dtype=jnp.int32), -1)
+        ),
+        0,
+    ).astype(jnp.int32)
+    tile = jnp.where(valid, t, last_live).astype(jnp.int32)
     block = jnp.where(valid, first_blk[t] + k, n_blocks - 1).astype(jnp.int32)
     first = (valid & (k == 0)).astype(jnp.int32)
     last = (valid & (k == chunks[t] - 1)).astype(jnp.int32)

@@ -52,8 +52,9 @@ Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
 # The TPU contracts f32 operands as bf16 multi-pass; at DEFAULT precision
 # that is a single bf16 pass (~2^-8 relative), which wrecks the quadratic
 # form (catastrophic cancellation against coefficients ~10^3) and the
-# transmittance cumsum (T error ~1%). HIGHEST (fp32 contract = bf16x3)
-# restores ~f32 accuracy; measured on hardware via tools/ probes.
+# transmittance cumsum (T error ~1%). HIGHEST (fp32 contract) restores
+# ~f32 accuracy; measured on hardware via tools/ probes. (Mosaic lowers
+# only DEFAULT and HIGHEST — Precision.HIGH is rejected.)
 _HIGH = jax.lax.Precision.HIGHEST
 
 # Work-item info packing: SMEM is ~1 MB/core, and at 1M-gaussian/1080p
@@ -150,6 +151,34 @@ def _tri(chunk, strict):
     return ((i < j) if strict else (i <= j)).astype(jnp.float32)
 
 
+# Lane sub-block for the cumsum-by-matmul: one MXU tile wide. The naive
+# [PIX, K] @ [K, K] triangular matmul costs PIX*K^2 MACs per chunk — the
+# dominant MXU term at chunk 512 (~2/3 of kernel FLOPs at fp32-contract
+# passes). Blocking it as K/B slices of [PIX, B] @ [B, B] plus a running
+# per-pixel carry costs PIX*K*B: 4x fewer MACs at K=512, same result up
+# to f32 summation order.
+CUMSUM_BLOCK = 128
+
+
+def _cumsum_lanes(x, chunk, strict):
+    """Per-row cumsum of [PIX, K] along lanes via blocked MXU matmuls."""
+    b = min(chunk, CUMSUM_BLOCK)
+    tri_b = _tri(b, strict)
+    if chunk == b:
+        return jnp.dot(x, tri_b, preferred_element_type=jnp.float32,
+                       precision=_HIGH)
+    parts = []
+    carry = None
+    for s in range(chunk // b):
+        xs = x[:, s * b:(s + 1) * b]
+        local = jnp.dot(xs, tri_b, preferred_element_type=jnp.float32,
+                        precision=_HIGH)
+        parts.append(local if carry is None else local + carry)
+        tot = jnp.sum(xs, axis=1, keepdims=True)
+        carry = tot if carry is None else carry + tot
+    return jnp.concatenate(parts, axis=1)
+
+
 def _fwd_kernel(
     winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
     frag_ref,  # (NUM_ATTRS, chunk) VMEM
@@ -177,30 +206,38 @@ def _fwd_kernel(
         state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
         state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
 
-    alpha, _, _, _, _, _, _ = _chunk_alphas(
-        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
-        cutoff_sq, mode,
-    )
+    # Padding work items and chunks outside this tile's fragment range
+    # contribute exactly nothing (every fragment masks to alpha 0), so the
+    # whole per-chunk body is skippable. At bench shapes ~1/3 of grid steps
+    # are padding or empty-tile floor items — this turns them into bare
+    # DMA + flush steps.
+    has_frags = (valid == 1) & (te > blk * chunk) & (ts < (blk + 1) * chunk)
 
-    log1m = jnp.log1p(-alpha)
-    ecs = jnp.dot(log1m, _tri(chunk, strict=True),
-                  preferred_element_type=jnp.float32, precision=_HIGH)
+    @pl.when(has_frags)
+    def _():
+        alpha, _, _, _, _, _, _ = _chunk_alphas(
+            frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
+            cutoff_sq, mode,
+        )
 
-    t_run = state_ref[:, 3:4]
-    t_i = t_run * jnp.exp(ecs)  # [PIX, K]
-    blend = t_i > T_MIN
-    wgt = jnp.where(blend, alpha * t_i, 0.0)
+        log1m = jnp.log1p(-alpha)
+        ecs = _cumsum_lanes(log1m, chunk, strict=True)
 
-    # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU contraction
-    # instead of three VPU multiply+reduce passes.
-    c_rows = frag_ref[5:8, :]  # [3, K]
-    state_ref[:, 0:3] += jax.lax.dot_general(
-        wgt, c_rows, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
-    )
-    state_ref[:, 3:4] = t_run * jnp.exp(
-        jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
-    )
+        t_run = state_ref[:, 3:4]
+        t_i = t_run * jnp.exp(ecs)  # [PIX, K]
+        blend = t_i > T_MIN
+        wgt = jnp.where(blend, alpha * t_i, 0.0)
+
+        # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU contraction
+        # instead of three VPU multiply+reduce passes.
+        c_rows = frag_ref[5:8, :]  # [3, K]
+        state_ref[:, 0:3] += jax.lax.dot_general(
+            wgt, c_rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGH,
+        )
+        state_ref[:, 3:4] = t_run * jnp.exp(
+            jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
+        )
 
     @pl.when(last == 1)
     def _():
@@ -242,6 +279,28 @@ def _bwd_kernel(
     def _():
         dfrag_ref[...] = jnp.zeros((NUM_ATTRS, chunk), jnp.float32)
 
+    # Same skip as the forward kernel: chunks with no live fragment for
+    # this tile accumulate exactly zero into dfrag and leave the prefix
+    # state untouched, so the whole body (including the first-chunk
+    # prologue: a nonempty tile's first chunk always holds its first
+    # fragment, and an empty tile's state is never read) is skippable.
+    has_frags = (valid == 1) & (te > blk * chunk) & (ts < (blk + 1) * chunk)
+
+    @pl.when(has_frags)
+    def _body():
+        _bwd_chunk_body(
+            winfo_ref, wb_ref, tstart_ref, tend_ref, frag_ref, fwd_ref,
+            g_ref, dfrag_ref, state_ref, t, first, valid, blk, ts, te,
+            chunk=chunk, tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
+            mode=mode,
+        )
+
+
+def _bwd_chunk_body(
+    winfo_ref, wb_ref, tstart_ref, tend_ref, frag_ref, fwd_ref, g_ref,
+    dfrag_ref, state_ref, t, first, valid, blk, ts, te,
+    *, chunk, tiles_x, bg, cutoff_sq, mode,
+):
     @pl.when(first == 1)
     def _():
         state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
@@ -273,9 +332,7 @@ def _bwd_kernel(
     op = frag_ref[8:9, :]
 
     log1m = jnp.log1p(-alpha)
-    tri_excl = _tri(chunk, strict=True)
-    tri_incl = _tri(chunk, strict=False)
-    ecs = jnp.dot(log1m, tri_excl, preferred_element_type=jnp.float32, precision=_HIGH)
+    ecs = _cumsum_lanes(log1m, chunk, strict=True)
 
     t_run = state_ref[:, 3:4]
     t_i = t_run * jnp.exp(ecs)
@@ -302,10 +359,7 @@ def _bwd_kernel(
     g_cbl_a = jnp.sum(
         g3 * (state_ref[:, 9:12] - state_ref[:, 0:3]), axis=1, keepdims=True
     )  # [PIX, 1]
-    gs_i = g_cbl_a - jnp.dot(
-        wgt * u, tri_incl, preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )
+    gs_i = g_cbl_a - _cumsum_lanes(wgt * u, chunk, strict=False)
     dalpha = t_i * u - gs_i / one_minus - g_t_total * t_f / one_minus
     # color gradient: dL/dc_ich = sum_pix g_ch w_i — one [3,PIX]x[PIX,K]
     # MXU contraction.

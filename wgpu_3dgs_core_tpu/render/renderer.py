@@ -38,7 +38,11 @@ from ..ops.sh import gaussian_color
 from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
 from .camera import Camera
 
-DEFAULT_CHUNK = 256
+# 512 halves the F/K share of the grid vs 256 while the T-floor share is
+# skipped via the kernels' has_frags gate; the per-chunk triangular-matmul
+# FLOPs grow linearly with chunk but stay a minor share of the step
+# (PERF_NOTES "chunk 512" lever).
+DEFAULT_CHUNK = 512
 
 
 class RenderResult(NamedTuple):
@@ -185,6 +189,22 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
         cutoff_sq,
         mode,
     )
+    # Empty tiles get no work item (ops/binning.py), so their output blocks
+    # are never written by the kernel (uninitialized memory, possibly NaN);
+    # composite them to pure background here. jnp.where is a select, so the
+    # garbage never propagates — forward or backward (non-selected
+    # cotangents are dropped).
+    nonempty = stream.tile_end > stream.tile_start
+    bg_block = jnp.concatenate(
+        [
+            jnp.full((1, 1, tiles.shape[2]), float(background[ch]),
+                     tiles.dtype)
+            for ch in range(3)
+        ]
+        + [jnp.ones((1, 1, tiles.shape[2]), tiles.dtype)],
+        axis=1,
+    )
+    tiles = jnp.where(nonempty[:, None, None], tiles, bg_block)
     return tiles, stream.overflow
 
 

@@ -52,7 +52,7 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--sh-deg", type=int, default=3)
-    parser.add_argument("--chunk", type=int, default=512)
+    parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--small", action="store_true",
                         help="tiny config for smoke testing")
     args = parser.parse_args()

@@ -38,11 +38,11 @@ from ..ops.sh import gaussian_color
 from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
 from .camera import Camera
 
-# 512 halves the F/K share of the grid vs 256 while the T-floor share is
-# skipped via the kernels' has_frags gate; the per-chunk triangular-matmul
-# FLOPs grow linearly with chunk but stay a minor share of the step
-# (PERF_NOTES "chunk 512" lever).
-DEFAULT_CHUNK = 512
+# A/B on hardware (1M/1080p, 2026-08-19): 256 -> 562 ms/step, 512 ->
+# 590 ms/step. Halving the grid steps does not pay for the doubled
+# per-chunk [PIX,K] VPU math and tri-matmul FLOPs on no-op lanes, so the
+# smaller chunk stays the default.
+DEFAULT_CHUNK = 256
 
 
 class RenderResult(NamedTuple):

@@ -1,10 +1,15 @@
 """Benchmark: forward+backward differentiable render throughput.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Baseline target (BASELINE.md): >= 250 Mpix/s fwd+bwd per chip at 1080p on a
 1M-gaussian scene. Mpix/s = (H * W) / seconds per full forward+backward step.
+
+Besides the headline (fwd+bwd on the standard ~2.6-fragments/gaussian
+cloud), the extra keys report a fwd-only split and a heavy scene with
+realistic capture-like overlap (>= 8 fragments/gaussian), so regressions
+are attributable and the number is honest on dense scenes.
 """
 
 import argparse
@@ -38,6 +43,11 @@ def synthetic_scene(n, seed=0, spread=3.0, scale_lo=0.004, scale_hi=0.012):
     return jnp.asarray(means), cov6, color, opac, sh
 
 
+def heavy_scene(n, seed=1):
+    """Capture-like overlap: larger splats, >= 8 fragments/gaussian."""
+    return synthetic_scene(n, seed=seed, scale_lo=0.010, scale_hi=0.030)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--gaussians", type=int, default=1_000_000)
@@ -45,22 +55,28 @@ def main():
     parser.add_argument("--height", type=int, default=1080)
     # Capacity sized to the scene: the synthetic cloud measures ~2.6
     # fragments/gaussian (elliptical bboxes), so 4.2M gives 1.6x headroom
-    # at 1M gaussians. Every fragment-scale op (sort, scan, gathers) costs
+    # at 1M gaussians. Every fragment-scale op (sort, gathers) costs
     # proportional to this STATIC capacity, not the live fragment count —
     # oversizing it is pure overhead. Overflow is still checked every run.
     parser.add_argument("--max-fragments", type=int, default=4_194_304)
+    parser.add_argument("--heavy-max-fragments", type=int, default=12_582_912)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--sh-deg", type=int, default=3)
-    parser.add_argument("--chunk", type=int, default=256)
+    parser.add_argument("--chunk", type=int, default=None)
     parser.add_argument("--small", action="store_true",
                         help="tiny config for smoke testing")
+    parser.add_argument("--no-heavy", action="store_true",
+                        help="skip the heavy-overlap scene")
+    parser.add_argument("--no-fwd", action="store_true",
+                        help="skip the forward-only split")
     args = parser.parse_args()
 
     if args.small:
         args.gaussians = 10_000
         args.width, args.height = 512, 512
         args.max_fragments = 262_144
+        args.heavy_max_fragments = 1_048_576
         args.iters, args.warmup = 3, 1
 
     import os
@@ -75,7 +91,9 @@ def main():
     import jax.numpy as jnp
 
     from wgpu_3dgs_core_tpu import Camera, render
+    from wgpu_3dgs_core_tpu.render.renderer import DEFAULT_CHUNK
 
+    chunk = args.chunk or DEFAULT_CHUNK
     cam = Camera.look_at(
         eye=(0.0, 0.0, -6.0), target=(0.0, 0.0, 0.0),
         width=args.width, height=args.height, fov_y=0.9,
@@ -83,42 +101,75 @@ def main():
     scene = synthetic_scene(args.gaussians)
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
 
-    def loss_fn(means, cov6, color, opac, sh):
-        res = render(
-            means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
-            background=(0.0, 0.0, 0.0), max_fragments=args.max_fragments,
-            chunk=args.chunk,
-        )
-        return jnp.mean((res.image - target) ** 2), res.overflow
+    def make_step(max_fragments):
+        def loss_fn(means, cov6, color, opac, sh):
+            res = render(
+                means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
+                background=(0.0, 0.0, 0.0), max_fragments=max_fragments,
+                chunk=chunk,
+            )
+            return jnp.mean((res.image - target) ** 2), res.overflow
 
-    @jax.jit
-    def step(means, cov6, color, opac, sh):
-        (loss, overflow), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
-        )(means, cov6, color, opac, sh)
-        return loss, overflow, grads
+        @jax.jit
+        def step(means, cov6, color, opac, sh):
+            (loss, overflow), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+            )(means, cov6, color, opac, sh)
+            return loss, overflow, grads
 
-    # Compile + warmup. Sync via device-to-host materialization: on some
-    # remote platforms block_until_ready returns before execution finishes.
+        return step
+
+    # Sync via device-to-host materialization: on some remote platforms
+    # block_until_ready returns before execution finishes.
     def sync(x):
         return float(np.asarray(x))
 
-    loss, overflow, grads = step(*scene)
-    if bool(np.asarray(overflow)):
-        print("WARNING: fragment capacity overflow; raise --max-fragments",
-              file=sys.stderr)
-    for _ in range(args.warmup - 1):
-        loss, overflow, grads = step(*scene)
-    sync(loss)
+    def time_fn(fn, fn_args, warmup, iters, overflow_ix=None):
+        out = fn(*fn_args)
+        if overflow_ix is not None and bool(np.asarray(out[overflow_ix])):
+            print("WARNING: fragment capacity overflow; raise capacity",
+                  file=sys.stderr)
+        for _ in range(warmup - 1):
+            out = fn(*fn_args)
+        sync(jax.tree.leaves(out)[0].ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*fn_args)
+        # programs execute in order; waiting on the last waits on all
+        sync(jax.tree.leaves(out)[0].ravel()[0])
+        return (time.perf_counter() - t0) / iters, out
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        loss, overflow, grads = step(*scene)
-    sync(loss)  # programs execute in order; waiting on the last waits on all
-    dt = (time.perf_counter() - t0) / args.iters
-
-    mpix_s = args.width * args.height / dt / 1e6
+    npix = args.width * args.height
+    step = make_step(args.max_fragments)
+    dt, out = time_fn(step, scene, args.warmup, args.iters, overflow_ix=1)
+    loss, overflow = out[0], out[1]
+    mpix_s = npix / dt / 1e6
     msplats_s = args.gaussians / dt / 1e6
+
+    extras = {}
+    if not args.no_fwd:
+        def fwd_loss(means, cov6, color, opac, sh):
+            res = render(
+                means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
+                background=(0.0, 0.0, 0.0),
+                max_fragments=args.max_fragments, chunk=chunk,
+            )
+            return jnp.mean((res.image - target) ** 2)
+
+        fwd = jax.jit(fwd_loss)
+        dt_f, _ = time_fn(fwd, scene, args.warmup, args.iters)
+        extras["fwd_ms"] = round(dt_f * 1e3, 2)
+        extras["bwd_ms"] = round((dt - dt_f) * 1e3, 2)
+
+    if not args.no_heavy:
+        hscene = heavy_scene(args.gaussians)
+        hstep = make_step(args.heavy_max_fragments)
+        dt_h, hout = time_fn(hstep, hscene, args.warmup, args.iters,
+                             overflow_ix=1)
+        extras["heavy_mpix_s"] = round(npix / dt_h / 1e6, 2)
+        extras["heavy_step_ms"] = round(dt_h * 1e3, 2)
+        extras["heavy_overflow"] = bool(np.asarray(hout[1]))
+
     print(
         json.dumps(
             {
@@ -131,7 +182,8 @@ def main():
                 "msplats_s": round(msplats_s, 2),
                 "step_ms": round(dt * 1e3, 2),
                 "loss": float(loss),
-                "overflow": bool(overflow),
+                "overflow": bool(np.asarray(overflow)),
+                **extras,
             }
         )
     )

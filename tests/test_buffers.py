@@ -160,3 +160,47 @@ def test_model_transform_defaults_and_update():
     mt2 = mt.update(pos=(1, 2, 3))
     assert mt2.pos == (1, 2, 3)
     assert mt2.rot == mt.rot
+
+
+def test_fixed_size_wrapper_accepts_exact_size():
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_core_tpu import FixedSizeBufferWrapper
+
+    arr = jnp.zeros((2, 4), jnp.float32)  # 32 bytes
+    w = FixedSizeBufferWrapper(arr, expected_nbytes=32)
+    got = w.download_single()
+    assert got.shape == (2, 4)
+    assert w.buffer is arr
+
+
+def test_fixed_size_wrapper_rejects_wrong_size():
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_core_tpu import FixedSizeBufferWrapper
+    from wgpu_3dgs_core_tpu.errors import FixedSizeBufferWrapperError
+
+    arr = jnp.zeros((3,), jnp.float32)  # 12 bytes
+    with pytest.raises(FixedSizeBufferWrapperError) as ei:
+        FixedSizeBufferWrapper(arr, expected_nbytes=16)
+    assert ei.value.buffer_size == 12
+    assert ei.value.expected_size == 16
+
+
+def test_download_helper_and_error():
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_core_tpu import download
+    from wgpu_3dgs_core_tpu.errors import DownloadBufferError
+
+    arr = jnp.arange(8, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        download(arr), np.arange(8, dtype=np.float32)
+    )
+
+    # The reference's failed-map path (src/error.rs:56-63): a deleted
+    # device buffer is the TPU analog of an unmappable staging buffer.
+    arr2 = jnp.arange(4, dtype=jnp.float32) + 1.0
+    arr2.delete()
+    with pytest.raises(DownloadBufferError):
+        download(arr2)

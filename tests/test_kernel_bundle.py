@@ -223,3 +223,23 @@ def test_gaussian_unpack_via_bundle():
 
     expected = pack(soa, GaussianLayout(cov3d=Cov3dFormat.SINGLE)).cov3d
     np.testing.assert_allclose(out, expected, atol=1e-3, rtol=1e-5)
+
+
+def test_missing_layout_config():
+    """A config-specialized kernel must get .layout_config() before build
+    (the missing-WESL-features analog, reference: compute_bundle.rs:505-519)."""
+    from wgpu_3dgs_core_tpu.errors import MissingLayoutConfigError
+
+    def kernel(in_ref, out_ref, *, config):
+        out_ref[...] = in_ref[...]
+
+    builder = (
+        KernelBundleBuilder()
+        .resource_layout(ResourceGroupLayout("io", 1))
+        .kernel(kernel)
+        .output(1)
+    )
+    with pytest.raises(MissingLayoutConfigError):
+        builder.build_without_resources()
+    # Supplying the config builds fine.
+    builder.layout_config({"dtype": "f32"}).build_without_resources()

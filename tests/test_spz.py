@@ -216,3 +216,56 @@ def test_spz_v3_quat_codec_bit_layout():
     decoded = decode_rotations(packed, header)
     np.testing.assert_allclose(decoded[0, 0], 0.3, atol=2e-3)
     np.testing.assert_allclose(decoded[0, 2], 0.1, atol=2e-3)
+
+
+def test_spz_from_batches_concatenates():
+    """FromIterator analog: batches collect into one (spz.rs:836-914)."""
+    a = gaussians_soa().to_spz()
+    b = gaussians_soa().to_spz()
+    merged = SpzGaussians.from_batches([a, b])
+    assert len(merged) == len(a) + len(b)
+    np.testing.assert_array_equal(
+        merged.positions, np.concatenate([a.positions, b.positions])
+    )
+    np.testing.assert_array_equal(
+        merged.shs, np.concatenate([a.shs, b.shs])
+    )
+
+
+def test_spz_from_batches_empty_iterator():
+    from wgpu_3dgs_core_tpu import SpzEmptyIteratorError
+
+    with pytest.raises(SpzEmptyIteratorError):
+        SpzGaussians.from_batches([])
+
+
+def test_spz_from_batches_mixed_position_variant():
+    from wgpu_3dgs_core_tpu import SpzInvalidMixedVariantError
+
+    a = gaussians_soa().to_spz(SpzEncodeOptions(version=1))  # f16 positions
+    b = gaussians_soa().to_spz(SpzEncodeOptions(version=2))  # fixed-24
+    with pytest.raises(SpzInvalidMixedVariantError, match="position"):
+        SpzGaussians.from_batches([a, b])
+
+
+def test_spz_from_batches_mixed_rotation_variant():
+    from wgpu_3dgs_core_tpu import SpzInvalidMixedVariantError
+
+    a = gaussians_soa().to_spz(SpzEncodeOptions(version=2))  # first-three
+    b = gaussians_soa().to_spz(SpzEncodeOptions(version=3))  # smallest-three
+    b2 = SpzGaussians(  # same position codec as v2, rotation differs
+        SpzHeader(version=3, num_points=len(b), sh_degree=3,
+                  fractional_bits=b.header.fractional_bits),
+        b.positions, b.scales, b.rotations, b.alphas, b.colors, b.shs,
+    )
+    with pytest.raises(SpzInvalidMixedVariantError, match="rotation"):
+        SpzGaussians.from_batches([a, b2])
+
+
+def test_spz_from_batches_mixed_sh_degree():
+    from wgpu_3dgs_core_tpu import SpzInvalidMixedVariantError
+
+    a = gaussians_soa().to_spz(SpzEncodeOptions(sh_degree=3))
+    b = gaussians_soa().to_spz(SpzEncodeOptions(sh_degree=1))
+    with pytest.raises(SpzInvalidMixedVariantError, match="sh"):
+        SpzGaussians.from_batches([a, b])

@@ -55,6 +55,19 @@ def test_fit_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def test_fit_loss_curve_contract():
+    """Curve: every log_every-th step plus the final one; steps=0 -> []."""
+    scene = _tiny_scene()
+    target = jnp.zeros((32, 32, 3))
+
+    _, losses = fit(scene, CAM, target, steps=8, sh_deg=0, log_every=3)
+    assert len(losses) == 4  # steps 0, 3, 6 + final step 7
+    _, losses0 = fit(scene, CAM, target, steps=5, sh_deg=0, log_every=0)
+    assert len(losses0) == 1  # final only
+    _, losses_none = fit(scene, CAM, target, steps=0, sh_deg=0)
+    assert losses_none == []
+
+
 def test_fit_returns_valid_scene():
     scene = _tiny_scene()
     target = jnp.zeros((32, 32, 3))

@@ -127,8 +127,7 @@ def main():
     # forward Pallas kernel and its hand-derived backward in isolation —
     # this splits "bwd kernel" from "rest of bwd" (attr scatter-add etc.),
     # which the step/fwd subtraction above cannot.
-    from wgpu_3dgs_core_tpu.ops.rasterize import rasterize_tiles
-    from wgpu_3dgs_core_tpu.render.renderer import rasterize_splats
+    from wgpu_3dgs_core_tpu.render.renderer import (DEFAULT_CHUNK, rasterize_splats)
 
     def _prep():
         spl = project(means_c, cov6_c, cam)
@@ -141,7 +140,7 @@ def main():
         spl = project(means, cov6, cam)
         tiles, _ = rasterize_splats(
             spl.xy, spl.depth, spl.conic, spl.extent, spl.mask,
-            color, opac, tiles_x, tiles_y, args.max_fragments, 256,
+            color, opac, tiles_x, tiles_y, args.max_fragments, DEFAULT_CHUNK,
             (0.0, 0.0, 0.0),
         )
         return jnp.sum(tiles[::64])
@@ -152,7 +151,7 @@ def main():
             spl = project(means, cov6, cam)
             tiles, _ = rasterize_splats(
                 xy, spl.depth, conic, spl.extent, spl.mask,
-                color, opac, tiles_x, tiles_y, args.max_fragments, 256,
+                color, opac, tiles_x, tiles_y, args.max_fragments, DEFAULT_CHUNK,
                 (0.0, 0.0, 0.0),
             )
             return jnp.sum(tiles * tiles)

@@ -10,10 +10,12 @@ reference's flat crate root (reference: src/lib.rs:11-20).
 """
 
 from .buffer import (  # noqa: F401
+    FixedSizeBufferWrapper,
     GaussianDisplayMode,
     GaussiansBuffer,
     GaussianTransform,
     ModelTransform,
+    download,
 )
 from .errors import *  # noqa: F401,F403
 from .layouts import (  # noqa: F401

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import (
+    DownloadBufferError,
+    FixedSizeBufferWrapperError,
     GaussiansBufferTryFromBufferError,
     GaussiansBufferUpdateError,
     GaussiansBufferUpdateRangeError,
@@ -31,6 +33,45 @@ _JNP_DTYPES = {
     np.dtype(np.float16): jnp.float16,
     np.dtype(np.int8): jnp.int8,
 }
+
+
+def download(array) -> np.ndarray:
+    """Device -> host transfer, the BufferWrapper.download analog
+    (reference: src/buffer/mod.rs:27-101).
+
+    The reference's async map can fail (channel/poll errors,
+    src/error.rs:56-63); the TPU analogs are a deleted/donated device
+    buffer or a dead remote device — surfaced uniformly as
+    :class:`DownloadBufferError`.
+    """
+    try:
+        return jax.device_get(array)
+    except RuntimeError as e:
+        raise DownloadBufferError(str(e)) from e
+
+
+class FixedSizeBufferWrapper:
+    """A device array validated to hold exactly one POD of a known size —
+    the analog of FixedSizeBufferWrapper (reference: src/buffer/mod.rs:111-150):
+    TryFrom validates byte size; ``download_single`` pulls the one value.
+    """
+
+    def __init__(self, array, expected_nbytes: int):
+        nbytes = int(np.prod(array.shape)) * array.dtype.itemsize
+        if nbytes != expected_nbytes:
+            raise FixedSizeBufferWrapperError(
+                buffer_size=nbytes, expected_size=expected_nbytes
+            )
+        self._array = array
+
+    @property
+    def buffer(self):
+        """The wrapped device array (the reference's Deref to wgpu::Buffer)."""
+        return self._array
+
+    def download_single(self) -> np.ndarray:
+        """Device -> host single POD (reference: mod.rs:137-149)."""
+        return download(self._array)
 
 
 class GaussiansBuffer:

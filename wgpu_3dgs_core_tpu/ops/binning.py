@@ -42,15 +42,22 @@ class FragmentStream(NamedTuple):
     tile_end: jnp.ndarray  # [num_tiles] int32
 
 
-class WorkSchedule(NamedTuple):
-    """One entry per (tile, fragment-chunk) pair, fixed capacity W_cap."""
+class PaddedSchedule(NamedTuple):
+    """Tile-padded fragment layout for the streaming rasterizer.
 
-    tile: jnp.ndarray  # [W_cap] int32, tile of this work item
-    block: jnp.ndarray  # [W_cap] int32, fragment-block index (chunk_size units)
-    first: jnp.ndarray  # [W_cap] int32, 1 on a tile's first chunk
-    last: jnp.ndarray  # [W_cap] int32, 1 on a tile's last chunk
-    valid: jnp.ndarray  # [W_cap] int32, 0 on padding items (must be no-ops)
-    num_work: jnp.ndarray  # scalar int32
+    Every tile's fragment segment is padded up to a ``chunk`` multiple, so
+    each chunk-sized block belongs to exactly one tile (no block sharing
+    between tiles, no revisits). ``src``/``valid`` map padded slots back to
+    positions in the (tile, depth)-sorted stream.
+    """
+
+    blk_tile: jnp.ndarray  # [B_cap] int32, tile owning each padded block
+    pad_off: jnp.ndarray  # [T] int32, tile's first padded slot (aligned)
+    tile_len: jnp.ndarray  # [T] int32, live fragments of the tile
+    live_blocks: jnp.ndarray  # [1] int32, blocks holding any live fragment
+    src: jnp.ndarray  # [F_pad] int32, sorted-stream index per padded slot
+    valid: jnp.ndarray  # [F_pad] bool, slot holds a live fragment
+    tile_written: jnp.ndarray  # [T] bool, tile's output block gets flushed
 
 
 def num_tiles(width: int, height: int) -> tuple[int, int]:
@@ -112,17 +119,20 @@ def bin_splats(
         sort_impl = DEFAULT_SORT_IMPL
     n = xy.shape[0]
     t_total = tiles_x * tiles_y
+    depth_key = jnp.where(mask, depth, jnp.inf)  # original gaussian order
 
-    # Depth-sort the GAUSSIANS first (N elements, not fragments): expanding
-    # fragments from depth-ordered gaussians leaves the slots pre-sorted by
-    # depth, so one stable tile sort of the (much larger) fragment stream
-    # yields (tile, depth, id) order — halving the N*overlap-sized sorts.
-    depth_order = jnp.argsort(
-        jnp.where(mask, depth, jnp.inf), stable=True
-    ).astype(jnp.int32)
-    xy = xy[depth_order]
-    extent = extent[depth_order]
-    mask = mask[depth_order]
+    if sort_impl == "counting":
+        # The counting-sort path relies on depth-presorted expansion order
+        # (placement preserves it); the default path sorts fragments by a
+        # (tile, depth) 2-key instead, so no N-scale argsort replicates
+        # across devices in the sharded renderer.
+        depth_order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+        xy = xy[depth_order]
+        extent = extent[depth_order]
+        mask = mask[depth_order]
+        gid_src = depth_order
+    else:
+        gid_src = jnp.arange(n, dtype=jnp.int32)
 
     x0, y0, x1, y1 = tile_bounds(xy, extent, tiles_x, tiles_y, tile_y_offset)
     span_x = jnp.maximum(x1 - x0, 0)
@@ -143,7 +153,7 @@ def bin_splats(
         hist = tile_histogram(x0, y0, x1, y1, counts > 0, tiles_x, tiles_y)
         tile_start = (jnp.cumsum(hist) - hist).astype(jnp.int32)
         tab_t = build_segment_table(
-            offsets, counts, span_x, x0, y0, depth_order
+            offsets, counts, span_x, x0, y0, gid_src
         )
         dst, gid_gm, tile_gm = place_fragments(
             tab_t, total, tile_start, max_fragments, tiles_x, t_total
@@ -179,20 +189,26 @@ def bin_splats(
         from .expand import build_segment_table, expand_fragments
 
         tab_t = build_segment_table(
-            offsets, counts, span_x, x0, y0, depth_order
+            offsets, counts, span_x, x0, y0, gid_src
         )
         tile, gid_unsorted = expand_fragments(
             tab_t, total, max_fragments, tiles_x, t_total
         )
     else:
         tile, gid_unsorted = _expand_xla(
-            offsets, counts, span_x, x0, y0, depth_order, total,
+            offsets, counts, span_x, x0, y0, gid_src, total,
             max_fragments, tiles_x, t_total, n,
         )
 
-    # Single stable sort carrying the original gaussian id as payload.
-    tile_sorted, gauss_id = jax.lax.sort(
-        (tile, gid_unsorted), num_keys=1, is_stable=True
+    # Single stable 2-key sort: (tile, depth) with the original gaussian
+    # id as payload. Blend order within a tile = depth ascending, ties by
+    # gaussian id (expansion emits ids ascending; the sort is stable) —
+    # exactly the reference renderer's stable depth argsort semantics.
+    # No gaussian-level presort means nothing N-scale is replicated
+    # per-device in the sharded renderer (SURVEY.md §7 M6).
+    depth_frag = depth_key[gid_unsorted]
+    tile_sorted, _, gauss_id = jax.lax.sort(
+        (tile, depth_frag, gid_unsorted), num_keys=2, is_stable=True
     )
 
     tile_ids = jnp.arange(t_total, dtype=jnp.int32)
@@ -246,63 +262,59 @@ def _expand_xla(offsets, counts, span_x, x0, y0, depth_order, total,
     return tile, seg[:, 4].astype(jnp.int32)
 
 
-def build_work_schedule(stream: FragmentStream, chunk_size: int,
-                        max_work: int, n_blocks: int) -> WorkSchedule:
-    """(tile, chunk) schedule for the streaming rasterizer.
+def pad_schedule(stream: FragmentStream, chunk: int,
+                 f_pad_cap: int) -> PaddedSchedule:
+    """Tile-padded block schedule for the streaming rasterizer.
 
-    EMPTY tiles get no work item at all — their (never-visited, garbage)
-    output blocks are overwritten with the background outside the kernel
-    (render/renderer.py), so the grid only spends steps on tiles with
-    fragments. A nonempty tile whose fragments span blocks
-    [s//K, (e-1)//K] gets one item per block. Padding work items point at
-    the LAST nonempty tile and LAST fragment block with first=last=0: the
-    kernel revisits already-flushed blocks as no-ops instead of clobbering
-    earlier ones (output blocks are only coherent while their grid indices
-    stay monotone).
+    Empty tiles get no block at all — their (never-visited, garbage)
+    output blocks are composited to the background outside the kernel
+    (render/renderer.py). All work here is tile- (T) or block- (B_cap)
+    scale; the only fragment-scale products are broadcasts.
+
+    With ``f_pad_cap >= max_fragments + n_tiles * chunk`` padding can never
+    overflow a stream that fit its own capacity; if a smaller cap is passed
+    the trailing tiles are truncated (the kernel flushes the partial tile
+    at the last live block) and ``tile_written`` marks what survived.
     """
+    assert f_pad_cap % chunk == 0
     start = stream.tile_start
     end = stream.tile_end
     t_total = start.shape[0]
+    b_cap = f_pad_cap // chunk
 
-    first_blk = start // chunk_size
-    nonempty = end > start
-    last_blk = jnp.where(nonempty, (end - 1) // chunk_size, first_blk)
-    chunks = jnp.where(nonempty, last_blk - first_blk + 1, 0)
+    ln = (end - start).astype(jnp.int32)
+    nblk = (ln + chunk - 1) // chunk
+    off_blk = jnp.cumsum(nblk) - nblk  # exclusive, in blocks
+    total_blocks = off_blk[-1] + nblk[-1]
+    live_blocks = jnp.minimum(total_blocks, b_cap).astype(jnp.int32)
 
-    w_off = jnp.cumsum(chunks) - chunks
-    total_work = w_off[-1] + chunks[-1]
-    # All tiles empty: keep >= 1 item so the grid is well-formed; it will
-    # be a padding no-op.
-    total_work = jnp.maximum(total_work, 1)
+    blk = jnp.arange(b_cap, dtype=jnp.int32)
+    # side="right" maps a block landing on tied offsets (zero-width =
+    # empty tiles) past every empty tile to the nonempty tile owning it.
+    bt = jnp.searchsorted(off_blk, blk, side="right").astype(jnp.int32) - 1
+    blk_tile = jnp.clip(bt, 0, t_total - 1)
+    pad_off = (off_blk * chunk).astype(jnp.int32)
 
-    wslot = jnp.arange(max_work, dtype=jnp.int32)
-    # side="right" maps a slot landing on tied offsets (zero-width = empty
-    # tiles) past every empty tile to the nonempty tile that owns the slot.
-    t = jnp.searchsorted(w_off, wslot, side="right").astype(jnp.int32) - 1
-    t = jnp.clip(t, 0, t_total - 1)
-    k = wslot - w_off[t]
-    valid = (wslot < total_work) & (chunks[t] > 0)
+    # Per-slot source mapping: block-scale gathers broadcast over lanes.
+    base_rank = blk * chunk - pad_off[blk_tile]  # [B_cap]
+    src_base = start[blk_tile] + base_rank
+    len_b = ln[blk_tile]
+    lanes = jnp.arange(chunk, dtype=jnp.int32)
+    src = (src_base[:, None] + lanes[None, :]).reshape(-1)
+    rank = base_rank[:, None] + lanes[None, :]
+    valid = (
+        (rank < len_b[:, None]) & (blk[:, None] < live_blocks)
+    ).reshape(-1)
 
-    # Padding items target the last NONEMPTY tile (whose block was already
-    # flushed) so their output-block revisits are coherent.
-    last_live = jnp.maximum(
-        jnp.argmax(
-            jnp.where(nonempty, jnp.arange(t_total, dtype=jnp.int32), -1)
-        ),
-        0,
-    ).astype(jnp.int32)
-    tile = jnp.where(valid, t, last_live).astype(jnp.int32)
-    block = jnp.where(valid, first_blk[t] + k, n_blocks - 1).astype(jnp.int32)
-    first = (valid & (k == 0)).astype(jnp.int32)
-    last = (valid & (k == chunks[t] - 1)).astype(jnp.int32)
-
-    return WorkSchedule(
-        tile=tile,
-        block=block,
-        first=first,
-        last=last,
-        valid=valid.astype(jnp.int32),
-        num_work=jnp.minimum(total_work, max_work).astype(jnp.int32),
+    tile_written = (ln > 0) & (off_blk < live_blocks)
+    return PaddedSchedule(
+        blk_tile=blk_tile,
+        pad_off=pad_off,
+        tile_len=ln,
+        live_blocks=live_blocks.reshape(1),
+        src=src,
+        valid=valid,
+        tile_written=tile_written,
     )
 
 

@@ -36,6 +36,7 @@ from ..errors import (
     KernelBundleWorkgroupLimitError,
     MissingEntryPointError,
     MissingKernelError,
+    MissingLayoutConfigError,
     MissingResourceLayoutError,
 )
 
@@ -268,6 +269,25 @@ class KernelBundleBuilder:
             )
         if not self._outputs:
             self._outputs = [OutputSpec(1, jnp.float32)]
+
+        # A kernel declaring a required ``config`` parameter is layout-
+        # specialized (the WESL feature-flag analog): building it without
+        # .layout_config(...) is the reference's missing-features error
+        # (reference: compute_bundle.rs:505-519 Missing* validation).
+        if self._config is None:
+            import inspect
+
+            fn = self._module[self._entry_point]
+            try:
+                params = inspect.signature(fn).parameters
+            except (TypeError, ValueError):
+                params = {}
+            cfg = params.get("config")
+            if cfg is not None and cfg.default is inspect.Parameter.empty:
+                raise MissingLayoutConfigError(
+                    f"{self._label}: kernel {self._entry_point!r} requires a "
+                    "layout config; call .layout_config(...) before build"
+                )
 
         block = self._block_size or DEFAULT_BLOCK_SIZE
         if block > MAX_BLOCK_SIZE:

@@ -1,23 +1,31 @@
 """Streaming tile rasterizer: Pallas forward + hand-derived backward.
 
-Renderer extension (SURVEY.md §7 M4/M5, hard parts #1/#2). The kernel
-consumes the (tile, depth)-sorted fragment stream from ops/binning.py
-through a fixed (tile, chunk) work schedule:
+Renderer extension (SURVEY.md §7 M4/M5, hard parts #1/#2). The kernels
+consume the tile-PADDED fragment stream from ops/binning.py (each tile's
+fragments padded to a chunk multiple, so every chunk-sized block belongs to
+exactly one tile and is processed exactly once — no block sharing, no
+revisit accumulation):
 
-- grid = one program per work item; items of a tile are consecutive, so the
-  per-tile output block stays resident in VMEM across its chunks and
-  per-pixel accumulators (color, transmittance) live in scratch.
-- fragment attributes are stored attribute-major [16, F_pad] so a chunk is
-  a (16, chunk) block: attribute rows broadcast against the 256 tile pixels
+- grid = one program per GROUP of ``group`` blocks, with an inner
+  ``fori_loop`` whose trip count is clamped to the live block count: dead
+  capacity costs nothing, and the per-grid-step dispatch overhead (the
+  dominant kernel cost of the round-1 design, ~4-6 us x 24.6K steps/pass)
+  is amortized over the group.
+- fragment blocks are streamed HBM -> VMEM with a manually double-buffered
+  async-DMA chain that runs across group boundaries (the guide's
+  double-buffer pattern), so DMA always overlaps the previous block's math.
+- fragment attributes are stored attribute-major [9, F_pad] so a block is
+  a (9, chunk) tile: attribute rows broadcast against the 256 tile pixels
   held on the other axis — [256 pixels, chunk frags] VPU math with no
   per-chunk transposes.
 - tile pixel blocks are stored [T, 4, 256] — channels on sublanes, pixels
-  on lanes. A trailing dim of 4 would be padded to 128 lanes by Mosaic,
-  inflating kernel HBM traffic ~32x (measured: ~1 GB/pass at 1080p); the
-  one [256, 4] transpose per tile flush is noise by comparison.
-- the front-to-back transmittance recurrence is computed per chunk as
-  exp(cumsum(log1p(-alpha))) with the exclusive cumsum done as one
-  [256, K] x [K, K] strict-lower-triangular matmul on the MXU.
+  on lanes (a trailing dim of 4 would be lane-padded 32x by Mosaic). Tiles
+  are flushed with a second double-buffered DMA chain, once per tile.
+- the front-to-back transmittance recurrence is computed per block as
+  exp(cumsum(log1p(-alpha))) with the exclusive cumsum done as blocked
+  strict-lower-triangular matmuls on the MXU.
+- a per-block early-out skips all math once every pixel of the tile has
+  saturated (T <= T_MIN): dense scenes stop paying for occluded fragments.
 
 Blending semantics match render/reference.py exactly (alpha clamp 0.99,
 alpha floor 1/255, q cutoff 3 sigma, T floor 1e-4); the backward kernel
@@ -26,7 +34,8 @@ S_i = C_blend - A_i so everything runs front-to-back in one pass
 (no reverse sweep, bounded memory).
 
 Attribute rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:r 6:g 7:b
-8:opacity 9..15:pad.
+8:opacity 9..15:pad (Mosaic requires sublane-tile-aligned DMA slices, so
+the attribute array keeps 16 rows).
 """
 
 from __future__ import annotations
@@ -41,13 +50,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TILE_SIZE
 from .kernel_bundle import interpret_mode
 
-NUM_ATTRS = 16
+ATTR_ROWS = 16
 PIX = TILE_SIZE * TILE_SIZE  # 256 pixels per tile
 
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
 Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
+
+# Blocks per grid step (inner fori_loop trip). Amortizes per-grid-step
+# dispatch overhead; the DMA chain pipelines across groups either way.
+DEFAULT_GROUP = 8
 
 # The TPU contracts f32 operands as bf16 multi-pass; at DEFAULT precision
 # that is a single bf16 pass (~2^-8 relative), which wrecks the quadratic
@@ -56,25 +69,6 @@ Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
 # ~f32 accuracy; measured on hardware via tools/ probes. (Mosaic lowers
 # only DEFAULT and HIGHEST — Precision.HIGH is rejected.)
 _HIGH = jax.lax.Precision.HIGHEST
-
-# Work-item info packing: SMEM is ~1 MB/core, and at 1M-gaussian/1080p
-# scale six separate int32 prefetch arrays exceed it — tile id and the
-# four flags share one int32 per work item instead.
-WORK_TILE_MASK = (1 << 24) - 1
-WORK_FIRST_BIT = 24
-WORK_LAST_BIT = 25
-WORK_VALID_BIT = 26
-WORK_NEW_BLOCK_BIT = 27
-
-
-def pack_work_info(tile, first, last, valid, new_block):
-    return (
-        tile
-        | (first << WORK_FIRST_BIT)
-        | (last << WORK_LAST_BIT)
-        | (valid << WORK_VALID_BIT)
-        | (new_block << WORK_NEW_BLOCK_BIT)
-    ).astype(jnp.int32)
 
 
 def _pixel_basis(chunk):
@@ -87,11 +81,12 @@ def _pixel_basis(chunk):
     )
 
 
-def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
+def _chunk_alphas(frag, nlive, tx, ty, chunk,
                   cutoff_sq=Q_CUTOFF, mode=0):
-    """Shared fwd/bwd per-chunk math up to alpha. Returns per-fragment rows
-    [1, K] and per-(pixel, fragment) [PIX, K] arrays. ``item_valid`` masks
-    padding work items to no-ops (they revisit real tiles' ranges).
+    """Shared fwd/bwd per-block math up to alpha. ``frag`` is the loaded
+    [ATTR_ROWS, chunk] block; ``nlive`` the number of live lanes (padding
+    lanes mask to no-ops). Returns per-fragment rows [1, K] and
+    per-(pixel, fragment) [PIX, K] arrays.
     ``mode``: 0 splat (gaussian falloff), 1 ellipse (opaque boundary ring),
     2 point (treated as splat; projection substitutes an isotropic conic) —
     the GaussianDisplayMode analog (reference: gaussian_transform.rs:7-14).
@@ -103,15 +98,14 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
     radius because fragments only exist in bbox-overlapping tiles).
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    fidx = blk * chunk + lane
-    inrange = (fidx >= ts) & (fidx < te) & (item_valid == 1)
+    inrange = lane < nlive
 
-    x_l = frag_ref[0:1, :] - (tx * TILE_SIZE).astype(jnp.float32)
-    y_l = frag_ref[1:2, :] - (ty * TILE_SIZE).astype(jnp.float32)
-    c0 = frag_ref[2:3, :]
-    c1 = frag_ref[3:4, :]
-    c2 = frag_ref[4:5, :]
-    op = frag_ref[8:9, :]
+    x_l = frag[0:1, :] - (tx * TILE_SIZE).astype(jnp.float32)
+    y_l = frag[1:2, :] - (ty * TILE_SIZE).astype(jnp.float32)
+    c0 = frag[2:3, :]
+    c1 = frag[3:4, :]
+    c2 = frag[4:5, :]
+    op = frag[8:9, :]
 
     coef = jnp.concatenate(
         [
@@ -126,10 +120,12 @@ def _chunk_alphas(frag_ref, ts, te, blk, tx, ty, chunk, item_valid,
     )  # [6, K]
 
     basis = _pixel_basis(chunk)  # [PIX, 6]
-    q = jnp.dot(basis, coef, preferred_element_type=jnp.float32, precision=_HIGH)
+    q = jnp.dot(basis, coef, preferred_element_type=jnp.float32,
+                precision=_HIGH)
 
     if mode == 1:
-        # Ellipse outline: opaque ring at the cutoff boundary.
+        # Ellipse outline: opaque ring at the cutoff boundary (a deliberate
+        # semantic choice — see docs/ARCHITECTURE.md "display modes").
         g_exp = jnp.ones_like(q)
         alpha_raw = op * g_exp
         alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
@@ -152,16 +148,18 @@ def _tri(chunk, strict):
 
 
 # Lane sub-block for the cumsum-by-matmul: one MXU tile wide. The naive
-# [PIX, K] @ [K, K] triangular matmul costs PIX*K^2 MACs per chunk — the
-# dominant MXU term at chunk 512 (~2/3 of kernel FLOPs at fp32-contract
-# passes). Blocking it as K/B slices of [PIX, B] @ [B, B] plus a running
-# per-pixel carry costs PIX*K*B: 4x fewer MACs at K=512, same result up
-# to f32 summation order.
+# [PIX, K] @ [K, K] triangular matmul costs PIX*K^2 MACs per chunk;
+# blocking it as K/B slices of [PIX, B] @ [B, B] plus a running per-pixel
+# carry costs PIX*K*B — same result up to f32 summation order.
 CUMSUM_BLOCK = 128
 
 
 def _cumsum_lanes(x, chunk, strict):
     """Per-row cumsum of [PIX, K] along lanes via blocked MXU matmuls."""
+    if chunk > CUMSUM_BLOCK and chunk % CUMSUM_BLOCK:
+        raise ValueError(
+            f"chunk ({chunk}) must be <= {CUMSUM_BLOCK} or a multiple of it"
+        )
     b = min(chunk, CUMSUM_BLOCK)
     tri_b = _tri(b, strict)
     if chunk == b:
@@ -179,157 +177,303 @@ def _cumsum_lanes(x, chunk, strict):
     return jnp.concatenate(parts, axis=1)
 
 
+# SMEM bookkeeping slots (out-DMA in-flight flags per staging slot).
+_NSCRATCH = 4
+
+
+def _start_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk):
+    slot = jax.lax.rem(b, 2)
+    pltpu.make_async_copy(
+        frag_hbm.at[:, pl.ds(b * chunk, chunk)],
+        frag_buf.at[slot],
+        in_sem.at[slot],
+    ).start()
+
+
+def _wait_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk):
+    slot = jax.lax.rem(b, 2)
+    pltpu.make_async_copy(
+        frag_hbm.at[:, pl.ds(b * chunk, chunk)],
+        frag_buf.at[slot],
+        in_sem.at[slot],
+    ).wait()
+    return slot
+
+
 def _fwd_kernel(
-    winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
-    frag_ref,  # (NUM_ATTRS, chunk) VMEM
-    out_ref,  # (1, 4, PIX) VMEM: channel rows x pixel lanes
-    state_ref,  # (PIX, 8) VMEM scratch: cols 0-2 acc rgb, col 3 T
+    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
+    frag_hbm,  # [ATTR_ROWS, F_pad] ANY
+    out_hbm,  # [n_tiles, 4, PIX] ANY
+    frag_buf,  # VMEM (2, ATTR_ROWS, chunk)
+    out_buf,  # VMEM (2, 4, PIX) flush staging
+    state_ref,  # VMEM (PIX, 8): cols 0-2 acc rgb, col 3 T
+    smem,  # SMEM (_NSCRATCH,) int32: [0..1] out-DMA in flight per slot
+    in_sem, out_sem,  # DMA semaphores (2,) each
     *,
     chunk: int,
+    group: int,
     tiles_x: int,
     bg: tuple,
     cutoff_sq: float,
     mode: int,
 ):
-    w = pl.program_id(0)
-    info = winfo_ref[w]
-    t = info & WORK_TILE_MASK
-    first = (info >> WORK_FIRST_BIT) & 1
-    last = (info >> WORK_LAST_BIT) & 1
-    valid = (info >> WORK_VALID_BIT) & 1
-    blk = wb_ref[w]
-    ts = tstart_ref[t]
-    te = tend_ref[t]
+    g = pl.program_id(0)
+    live = live_ref[0]
+    base = g * group
 
-    @pl.when(first == 1)
+    @pl.when(g == 0)
     def _():
-        state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
-        state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0  # flush sequence counter (staging slot parity)
 
-    # Padding work items and chunks outside this tile's fragment range
-    # contribute exactly nothing (every fragment masks to alpha 0), so the
-    # whole per-chunk body is skippable. At bench shapes ~1/3 of grid steps
-    # are padding or empty-tile floor items — this turns them into bare
-    # DMA + flush steps.
-    has_frags = (valid == 1) & (te > blk * chunk) & (ts < (blk + 1) * chunk)
+        @pl.when(live > 0)
+        def _():
+            _start_frag_dma(frag_hbm, frag_buf, in_sem, 0, chunk)
 
-    @pl.when(has_frags)
+    def body(j, carry):
+        b = base + j
+
+        @pl.when(b + 1 < live)
+        def _():
+            _start_frag_dma(frag_hbm, frag_buf, in_sem, b + 1, chunk)
+
+        slot = _wait_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk)
+
+        t = blk_tile_ref[b]
+        p0 = pad_off_ref[t]
+        ln = tile_len_ref[t]
+        first = b * chunk == p0
+        last = ((b + 1) * chunk >= p0 + ln) | (b == live - 1)
+        nlive = p0 + ln - b * chunk  # live lanes in this block, in (0, K]
+
+        @pl.when(first)
+        def _():
+            state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
+            state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+
+        # Early-out: once every pixel of the tile is saturated, remaining
+        # fragments blend nothing (the T_MIN floor) and the whole block
+        # body is skippable.
+        alive = jnp.max(state_ref[:, 3]) > T_MIN
+
+        @pl.when(alive)
+        def _():
+            frag = frag_buf[slot]
+            alpha, _, _, _, _, _, _ = _chunk_alphas(
+                frag, nlive, t % tiles_x, t // tiles_x, chunk,
+                cutoff_sq, mode,
+            )
+
+            log1m = jnp.log1p(-alpha)
+            ecs = _cumsum_lanes(log1m, chunk, strict=True)
+
+            t_run = state_ref[:, 3:4]
+            t_i = t_run * jnp.exp(ecs)  # [PIX, K]
+            blend = t_i > T_MIN
+            wgt = jnp.where(blend, alpha * t_i, 0.0)
+
+            # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
+            # contraction instead of three VPU multiply+reduce passes.
+            c_rows = frag[5:8, :]  # [3, K]
+            state_ref[:, 0:3] += jax.lax.dot_general(
+                wgt, c_rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HIGH,
+            )
+            state_ref[:, 3:4] = t_run * jnp.exp(
+                jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
+            )
+
+        @pl.when(last)
+        def _():
+            oslot = jax.lax.rem(smem[2], 2)
+            smem[2] += 1
+
+            @pl.when(smem[oslot] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    out_buf.at[oslot], out_hbm.at[0], out_sem.at[oslot]
+                ).wait()
+
+            t_f = state_ref[:, 3:4]
+            cols = [
+                state_ref[:, ch: ch + 1] + t_f * float(bg[ch])
+                for ch in range(3)
+            ]
+            final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
+            out_buf[oslot] = final.T  # one [256,4] transpose per tile
+            pltpu.make_async_copy(
+                out_buf.at[oslot], out_hbm.at[t], out_sem.at[oslot]
+            ).start()
+            smem[oslot] = 1
+
+        return carry
+
+    n_here = jnp.clip(live - base, 0, group)
+    jax.lax.fori_loop(0, n_here, body, 0)
+
+    @pl.when(g == pl.num_programs(0) - 1)
     def _():
-        alpha, _, _, _, _, _, _ = _chunk_alphas(
-            frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
-            cutoff_sq, mode,
-        )
+        for s in range(2):
+            @pl.when(smem[s] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    out_buf.at[s], out_hbm.at[0], out_sem.at[s]
+                ).wait()
+                smem[s] = 0
 
-        log1m = jnp.log1p(-alpha)
-        ecs = _cumsum_lanes(log1m, chunk, strict=True)
 
-        t_run = state_ref[:, 3:4]
-        t_i = t_run * jnp.exp(ecs)  # [PIX, K]
-        blend = t_i > T_MIN
-        wgt = jnp.where(blend, alpha * t_i, 0.0)
-
-        # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU contraction
-        # instead of three VPU multiply+reduce passes.
-        c_rows = frag_ref[5:8, :]  # [3, K]
-        state_ref[:, 0:3] += jax.lax.dot_general(
-            wgt, c_rows, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HIGH,
-        )
-        state_ref[:, 3:4] = t_run * jnp.exp(
-            jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
-        )
-
-    @pl.when(last == 1)
-    def _():
-        t_f = state_ref[:, 3:4]
-        cols = [
-            state_ref[:, ch : ch + 1] + t_f * float(bg[ch])
-            for ch in range(3)
-        ]
-        final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
-        out_ref[0] = final.T  # one [256, 4] transpose per tile flush
+# Backward pixel-input rows (prepared XLA-side from the forward output and
+# its cotangent — all tile-scale elementwise): 0-2 g_rgb, 3 gT_total,
+# 4 t_f, 5-7 c_blend.
+_BWD_PIX_ROWS = 8
 
 
 def _bwd_kernel(
-    winfo_ref, wb_ref, tstart_ref, tend_ref,  # prefetch
-    frag_ref,  # (NUM_ATTRS, chunk)
-    fwd_ref,  # (1, 4, PIX): forward output tile (color+bg rows, T row)
-    g_ref,  # (1, 4, PIX): cotangent of the forward output tile
-    dfrag_ref,  # out (NUM_ATTRS, chunk), accumulated across revisits
-    state_ref,  # (PIX, 16) scratch: 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
+    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
+    frag_hbm,  # [ATTR_ROWS, F_pad] ANY
+    pix_hbm,  # [n_tiles, 8, PIX] ANY: per-tile backward pixel inputs
+    dfrag_hbm,  # out [ATTR_ROWS, F_pad] ANY
+    frag_buf,  # VMEM (2, ATTR_ROWS, chunk)
+    tile_buf,  # VMEM (2, _BWD_PIX_ROWS, PIX) per-tile input staging
+    dfrag_buf,  # VMEM (2, ATTR_ROWS, chunk) out staging
+    state_ref,  # VMEM (PIX, 16): 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
     #             6-8 g_rgb, 9-11 c_blend (per-pixel columns)
+    smem,  # SMEM (_NSCRATCH,): [0..1] dfrag-DMA in flight, [2] tile issue
+    #       count, [3] tile consume count
+    in_sem, tile_sem, out_sem,
     *,
     chunk: int,
+    group: int,
     tiles_x: int,
     bg: tuple,
     cutoff_sq: float,
     mode: int,
 ):
-    w = pl.program_id(0)
-    info = winfo_ref[w]
-    t = info & WORK_TILE_MASK
-    first = (info >> WORK_FIRST_BIT) & 1
-    valid = (info >> WORK_VALID_BIT) & 1
-    new_blk = (info >> WORK_NEW_BLOCK_BIT) & 1
-    blk = wb_ref[w]
-    ts = tstart_ref[t]
-    te = tend_ref[t]
+    g = pl.program_id(0)
+    live = live_ref[0]
+    base = g * group
 
-    @pl.when(new_blk == 1)
+    def start_tile_dma(t):
+        slot = jax.lax.rem(smem[2], 2)
+        pltpu.make_async_copy(
+            pix_hbm.at[t], tile_buf.at[slot], tile_sem.at[slot]
+        ).start()
+        smem[2] += 1
+
+    @pl.when(g == 0)
     def _():
-        dfrag_ref[...] = jnp.zeros((NUM_ATTRS, chunk), jnp.float32)
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0
+        smem[3] = 0
 
-    # Same skip as the forward kernel: chunks with no live fragment for
-    # this tile accumulate exactly zero into dfrag and leave the prefix
-    # state untouched, so the whole body (including the first-chunk
-    # prologue: a nonempty tile's first chunk always holds its first
-    # fragment, and an empty tile's state is never read) is skippable.
-    has_frags = (valid == 1) & (te > blk * chunk) & (ts < (blk + 1) * chunk)
+        @pl.when(live > 0)
+        def _():
+            _start_frag_dma(frag_hbm, frag_buf, in_sem, 0, chunk)
+            start_tile_dma(blk_tile_ref[0])
 
-    @pl.when(has_frags)
-    def _body():
-        _bwd_chunk_body(
-            winfo_ref, wb_ref, tstart_ref, tend_ref, frag_ref, fwd_ref,
-            g_ref, dfrag_ref, state_ref, t, first, valid, blk, ts, te,
-            chunk=chunk, tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
-            mode=mode,
-        )
+    def body(j, carry):
+        b = base + j
 
+        @pl.when(b + 1 < live)
+        def _():
+            _start_frag_dma(frag_hbm, frag_buf, in_sem, b + 1, chunk)
 
-def _bwd_chunk_body(
-    winfo_ref, wb_ref, tstart_ref, tend_ref, frag_ref, fwd_ref, g_ref,
-    dfrag_ref, state_ref, t, first, valid, blk, ts, te,
-    *, chunk, tiles_x, bg, cutoff_sq, mode,
-):
-    @pl.when(first == 1)
-    def _():
-        state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
-        state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
-        # Transpose the per-tile outputs/cotangents into pixel-column
-        # layout once per tile instead of once per chunk.
-        fwd_t = fwd_ref[0].T  # [PIX, 4]
-        g_t = g_ref[0].T  # [PIX, 4]
-        t_f = fwd_t[:, 3:4]
-        state_ref[:, 4:5] = t_f
-        state_ref[:, 5:6] = g_t[:, 3:4] + (
-            g_t[:, 0:1] * float(bg[0])
-            + g_t[:, 1:2] * float(bg[1])
-            + g_t[:, 2:3] * float(bg[2])
-        )
-        state_ref[:, 6:9] = g_t[:, 0:3]
-        for ch in range(3):
-            state_ref[:, 9 + ch : 10 + ch] = (
-                fwd_t[:, ch : ch + 1] - t_f * float(bg[ch])
+            # Prefetch the NEXT tile's pixel inputs as soon as its first
+            # block enters the frag pipeline, so the first-block prologue
+            # below never stalls on a fresh DMA.
+            @pl.when(blk_tile_ref[b + 1] != blk_tile_ref[b])
+            def _():
+                start_tile_dma(blk_tile_ref[b + 1])
+
+        slot = _wait_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk)
+
+        t = blk_tile_ref[b]
+        p0 = pad_off_ref[t]
+        ln = tile_len_ref[t]
+        first = b * chunk == p0
+        nlive = p0 + ln - b * chunk
+
+        @pl.when(first)
+        def _():
+            tslot = jax.lax.rem(smem[3], 2)
+            pltpu.make_async_copy(
+                pix_hbm.at[t], tile_buf.at[tslot], tile_sem.at[tslot]
+            ).wait()
+            smem[3] += 1
+            state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
+            state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+            # One [8, PIX] -> [PIX, 8] transpose per tile instead of per
+            # block: park everything in pixel-column layout.
+            state_ref[:, 4:12] = jnp.concatenate(
+                [
+                    tile_buf[tslot][4:5].T,  # t_f
+                    tile_buf[tslot][3:4].T,  # gT_total
+                    tile_buf[tslot][0:3].T,  # g_rgb
+                    tile_buf[tslot][5:8].T,  # c_blend
+                ],
+                axis=1,
             )
 
+        # dfrag staging slot: wait out any previous DMA on it before reuse.
+        oslot = jax.lax.rem(b, 2)
+
+        @pl.when(smem[oslot] > 0)
+        def _():
+            pltpu.make_async_copy(
+                dfrag_buf.at[oslot],
+                dfrag_hbm.at[:, pl.ds(0, chunk)],
+                out_sem.at[oslot],
+            ).wait()
+
+        alive = jnp.max(state_ref[:, 3]) > T_MIN
+
+        @pl.when(alive)
+        def _():
+            _bwd_block_body(
+                frag_buf[slot], dfrag_buf, state_ref, oslot, nlive,
+                t % tiles_x, t // tiles_x,
+                chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
+            )
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            dfrag_buf[oslot] = jnp.zeros((ATTR_ROWS, chunk), jnp.float32)
+
+        pltpu.make_async_copy(
+            dfrag_buf.at[oslot],
+            dfrag_hbm.at[:, pl.ds(b * chunk, chunk)],
+            out_sem.at[oslot],
+        ).start()
+        smem[oslot] = 1
+        return carry
+
+    n_here = jnp.clip(live - base, 0, group)
+    jax.lax.fori_loop(0, n_here, body, 0)
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        for s in range(2):
+            @pl.when(smem[s] > 0)
+            def _():
+                pltpu.make_async_copy(
+                    dfrag_buf.at[s],
+                    dfrag_hbm.at[:, pl.ds(0, chunk)],
+                    out_sem.at[s],
+                ).wait()
+                smem[s] = 0
+
+
+def _bwd_block_body(frag, dfrag_buf, state_ref, oslot, nlive, tx, ty,
+                    *, chunk, cutoff_sq, mode):
     alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
-        frag_ref, ts, te, blk, t % tiles_x, t // tiles_x, chunk, valid,
-        cutoff_sq, mode,
+        frag, nlive, tx, ty, chunk, cutoff_sq, mode,
     )
-    c0 = frag_ref[2:3, :]
-    c1 = frag_ref[3:4, :]
-    c2 = frag_ref[4:5, :]
-    op = frag_ref[8:9, :]
+    c0 = frag[2:3, :]
+    c1 = frag[3:4, :]
+    c2 = frag[4:5, :]
+    op = frag[8:9, :]
 
     log1m = jnp.log1p(-alpha)
     ecs = _cumsum_lanes(log1m, chunk, strict=True)
@@ -351,7 +495,7 @@ def _bwd_chunk_body(
     #                       - cumsum_incl(wgt * u).
     one_minus = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
     g3 = state_ref[:, 6:9]  # [PIX, 3]
-    c_rows = frag_ref[5:8, :]  # [3, K]
+    c_rows = frag[5:8, :]  # [3, K]
     u = jax.lax.dot_general(
         g3, c_rows, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HIGH,
@@ -363,24 +507,25 @@ def _bwd_chunk_body(
     dalpha = t_i * u - gs_i / one_minus - g_t_total * t_f / one_minus
     # color gradient: dL/dc_ich = sum_pix g_ch w_i — one [3,PIX]x[PIX,K]
     # MXU contraction.
-    dfrag_ref[5:8, :] += jax.lax.dot_general(
+    d_color = jax.lax.dot_general(
         g3, wgt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HIGH,
-    )
+    )  # [3, K]
     dalpha = jnp.where(blend & ok, dalpha, 0.0)
 
     # alpha = min(0.99, op * G): clamp kills the gradient.
-    live = alpha_raw < ALPHA_CLAMP
-    dalpha = jnp.where(live, dalpha, 0.0)
+    live_a = alpha_raw < ALPHA_CLAMP
+    dalpha = jnp.where(live_a, dalpha, 0.0)
 
     if mode != 1:
-        # Moment trick (PERF_NOTES item 3, backward half): q is linear in
-        # the six polynomial coefficients, so every per-pixel reduction
-        # collapses into M = basis^T @ d_q [6, K] — ONE MXU contraction —
-        # and the attribute gradients follow per fragment ([1, K] math)
-        # through coef(c0, c1, c2, x_l, y_l). d_op = sum_p dalpha * g_exp
-        # = (-2 / op) * sum_p d_q = -2 M_0 / op (exact where op > 0;
-        # op == 0 implies dalpha == 0, so the guard returns the true 0).
+        # Moment trick (backward half of the polynomial-q trick): q is
+        # linear in the six polynomial coefficients, so every per-pixel
+        # reduction collapses into M = basis^T @ d_q [6, K] — ONE MXU
+        # contraction — and the attribute gradients follow per fragment
+        # ([1, K] math) through coef(c0, c1, c2, x_l, y_l).
+        # d_op = sum_p dalpha * g_exp = (-2 / op) * sum_p d_q = -2 M_0 / op
+        # (exact where op > 0; op == 0 implies dalpha == 0, so the guard
+        # returns the true 0).
         d_q = (-0.5) * op * (dalpha * g_exp)  # [PIX, K]
         m = jax.lax.dot_general(
             _pixel_basis(chunk), d_q, (((0,), (0,)), ((), ())),
@@ -407,12 +552,10 @@ def _bwd_chunk_body(
         d_op = jnp.sum(dalpha, axis=0, keepdims=True)
         d_c0 = d_c1 = d_c2 = d_x = d_y = zero
 
-    dfrag_ref[0:1, :] += d_x
-    dfrag_ref[1:2, :] += d_y
-    dfrag_ref[2:3, :] += d_c0
-    dfrag_ref[3:4, :] += d_c1
-    dfrag_ref[4:5, :] += d_c2
-    dfrag_ref[8:9, :] += d_op
+    dfrag_buf[oslot] = jnp.concatenate(
+        [d_x, d_y, d_c0, d_c1, d_c2, d_color, d_op,
+         jnp.zeros((ATTR_ROWS - 9, chunk), jnp.float32)], axis=0
+    )
 
     # advance prefix accumulators
     state_ref[:, 0:3] += jax.lax.dot_general(
@@ -424,103 +567,116 @@ def _bwd_chunk_body(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def rasterize_tiles(
-    frag_attrs,  # [NUM_ATTRS, F_pad] f32, differentiable
-    work_info,  # [W] int32, pack_work_info(tile, first, last, valid, new)
-    work_block,  # [W] int32 fragment-block index
-    tile_start,  # [T] int32
-    tile_end,  # [T] int32
+    frag_attrs,  # [ATTR_ROWS, F_pad] f32, differentiable
+    blk_tile,  # [B_cap] int32: tile owning each padded block
+    pad_off,  # [T] int32: tile's first padded slot (chunk-aligned)
+    tile_len,  # [T] int32: tile's live fragment count
+    live_blocks,  # [1] int32
     chunk: int,
     tiles_x: int,
     n_tiles: int,
     bg: tuple,
     cutoff_sq: float = Q_CUTOFF,
     mode: int = 0,
+    group: int = DEFAULT_GROUP,
 ):
-    """Rasterize the fragment stream into per-tile pixel blocks.
+    """Rasterize the padded fragment stream into per-tile pixel blocks.
 
     Returns [n_tiles, 4, 256] f32: RGB rows (background composited) +
-    final-transmittance row, pixels on the last axis.
+    final-transmittance row, pixels on the last axis. Blocks of tiles with
+    no fragments are never written (composite them outside, see
+    render/renderer.py).
     """
     return _rasterize_fwd_call(
-        frag_attrs, work_info, work_block, tile_start, tile_end,
-        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode,
+        frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
+        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
     )
 
 
-def _rasterize_fwd_call(frag_attrs, work_info, work_block, tile_start,
-                        tile_end, chunk, tiles_x, n_tiles, bg,
-                        cutoff_sq=Q_CUTOFF, mode=0):
-    n_work = work_info.shape[0]
+def _hbm_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
+
+
+def _rasterize_fwd_call(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
+                        chunk, tiles_x, n_tiles, bg, cutoff_sq=Q_CUTOFF,
+                        mode=0, group=DEFAULT_GROUP):
+    b_cap = blk_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_work,),
-        in_specs=[
-            pl.BlockSpec(
-                (NUM_ATTRS, chunk),
-                lambda w, wi, wb, ts, te: (0, wb[w]),
-            ),
+        grid=(pl.cdiv(b_cap, group),),
+        in_specs=_hbm_specs(1),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, 4, PIX), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.SMEM((_NSCRATCH,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 4, PIX),
-            lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
-        ),
-        scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg,
-                          cutoff_sq=cutoff_sq, mode=mode),
+        functools.partial(_fwd_kernel, chunk=chunk, group=group,
+                          tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
+                          mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PIX), jnp.float32),
         interpret=interpret_mode(),
-    )(work_info, work_block, tile_start, tile_end, frag_attrs)
+    )(live_blocks, blk_tile, pad_off, tile_len, frag_attrs)
 
 
-def _rasterize_fwd(frag_attrs, work_info, work_block, tile_start, tile_end,
-                   chunk, tiles_x, n_tiles, bg, cutoff_sq, mode):
+def _rasterize_fwd(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
+                   chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group):
     out = _rasterize_fwd_call(
-        frag_attrs, work_info, work_block, tile_start, tile_end,
-        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode,
+        frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
+        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
     )
-    residuals = (frag_attrs, work_info, work_block, tile_start, tile_end, out)
+    residuals = (frag_attrs, blk_tile, pad_off, tile_len, live_blocks, out)
     return out, residuals
 
 
-def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, residuals,
-                   g_out):
-    frag_attrs, work_info, work_block, tile_start, tile_end, out = residuals
-    n_work = work_info.shape[0]
+def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
+                   residuals, g_out):
+    frag_attrs, blk_tile, pad_off, tile_len, live_blocks, out = residuals
+    b_cap = blk_tile.shape[0]
+
+    # Per-tile backward pixel inputs, all tile-scale elementwise (XLA
+    # fuses this into one pass over the [T, 4, PIX] arrays).
+    bgv = jnp.asarray(bg, jnp.float32).reshape(3, 1)
+    g_rgb = g_out[:, 0:3, :]
+    t_f = out[:, 3:4, :]
+    g_t_total = g_out[:, 3:4, :] + jnp.sum(
+        g_rgb * bgv[None], axis=1, keepdims=True
+    )
+    c_blend = out[:, 0:3, :] - t_f * bgv[None]
+    pix_in = jnp.concatenate([g_rgb, g_t_total, t_f, c_blend], axis=1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_work,),
-        in_specs=[
-            pl.BlockSpec(
-                (NUM_ATTRS, chunk),
-                lambda w, wi, wb, ts, te: (0, wb[w]),
-            ),
-            pl.BlockSpec(
-                (1, 4, PIX),
-                lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 4, PIX),
-                lambda w, wi, wb, ts, te: (wi[w] & WORK_TILE_MASK, 0, 0),
-            ),
+        grid=(pl.cdiv(b_cap, group),),
+        in_specs=_hbm_specs(2),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, _BWD_PIX_ROWS, PIX), jnp.float32),
+            pltpu.VMEM((2, ATTR_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((PIX, 16), jnp.float32),
+            pltpu.SMEM((_NSCRATCH,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_specs=pl.BlockSpec(
-            (NUM_ATTRS, chunk),
-            lambda w, wi, wb, ts, te: (0, wb[w]),
-        ),
-        scratch_shapes=[pltpu.VMEM((PIX, 16), jnp.float32)],
     )
     dfrag = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk, tiles_x=tiles_x, bg=bg,
-                          cutoff_sq=cutoff_sq, mode=mode),
+        functools.partial(_bwd_kernel, chunk=chunk, group=group,
+                          tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
+                          mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(frag_attrs.shape, jnp.float32),
         interpret=interpret_mode(),
-    )(work_info, work_block, tile_start, tile_end, frag_attrs, out, g_out)
+    )(live_blocks, blk_tile, pad_off, tile_len, frag_attrs, pix_in)
     return (dfrag, None, None, None, None)
 
 

@@ -1,6 +1,7 @@
 from .mesh import (
     DATA_AXIS,
     gaussian_sharding,
+    initialize_multihost,
     make_mesh,
     pad_to_multiple,
     replicated,
@@ -10,6 +11,7 @@ from .sharded import render_sharded
 __all__ = [
     "DATA_AXIS",
     "gaussian_sharding",
+    "initialize_multihost",
     "make_mesh",
     "pad_to_multiple",
     "replicated",

@@ -23,26 +23,21 @@ from ..buffer import (
 from ..layouts import Cov3dFormat, PackedGaussians
 from ..ops.binning import (
     bin_splats,
-    build_work_schedule,
     default_max_fragments,
     num_tiles,
+    pad_schedule,
 )
 from ..ops.projection import project
-from ..ops.rasterize import (
-    NUM_ATTRS,
-    pack_work_info,
-    rasterize_tiles,
-    tiles_to_image,
-)
+from ..ops.rasterize import ATTR_ROWS, rasterize_tiles, tiles_to_image
 from ..ops.sh import gaussian_color
 from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
 from .camera import Camera
 
-# A/B on hardware (1M/1080p, 2026-08-19): 256 -> 562 ms/step, 512 ->
-# 590 ms/step. Halving the grid steps does not pay for the doubled
-# per-chunk [PIX,K] VPU math and tri-matmul FLOPs on no-op lanes, so the
-# smaller chunk stays the default.
-DEFAULT_CHUNK = 256
+# Fragment block width for the streaming rasterizer. With the tile-padded
+# stream each tile pays an average chunk/2 padding slots, so the smaller
+# MXU-native width wastes less than 256 did; per-block fixed costs are
+# amortized by the kernels' inner work loop.
+DEFAULT_CHUNK = 128
 
 
 class RenderResult(NamedTuple):
@@ -85,8 +80,6 @@ def render(
         max_fragments = default_max_fragments(n, tiles_x, tiles_y)
     # Stream capacity must be whole chunks.
     f_cap = -(-max_fragments // chunk) * chunk
-    n_blocks = f_cap // chunk
-    w_cap = n_blocks + t_total
 
     splats = project(
         means, cov3d_sigma6, camera, model_transform,
@@ -139,49 +132,43 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
     ``tile_y_offset`` selects a horizontal strip of the global tile grid.
     """
     t_total = tiles_x * tiles_y
-    n_blocks = f_cap // chunk
-    w_cap = n_blocks + t_total
+    # Tile padding adds at most one partial chunk per tile, so this cap
+    # never truncates a stream that fit f_cap (ops/binning.py).
+    f_pad_cap = f_cap + t_total * chunk
 
     stream = bin_splats(
         xy, extent, depth, mask, tiles_x, tiles_y, f_cap, tile_y_offset
     )
-    sched = build_work_schedule(stream, chunk, w_cap, n_blocks)
-    work_new = jnp.concatenate(
-        [
-            jnp.ones((1,), jnp.int32),
-            (sched.block[1:] != sched.block[:-1]).astype(jnp.int32),
-        ]
-    )
+    sched = pad_schedule(stream, chunk, f_pad_cap)
 
-    # Differentiable gather into the attribute-major fragment stream: one
-    # fused row gather of a per-gaussian attribute table (nine separate
-    # scalar gathers at fragment scale are several times slower on TPU).
-    gid = stream.gauss_id
+    # Differentiable gather into the attribute-major padded fragment
+    # stream: one fused row gather of a per-gaussian attribute table (nine
+    # separate scalar gathers at fragment scale are several times slower
+    # on TPU).
+    gid = stream.gauss_id[jnp.clip(sched.src, 0, f_cap - 1)]
     opac = opacity * mask  # culled gaussians contribute nothing
     attr_table = jnp.concatenate(
         [xy, conic, rgb, opac[:, None]], axis=1
     )  # [N, 9]
-    rows = attr_table[gid].T  # [9, F]
-    # Padding slots gather gaussian n-1 (clamped index) and their backward
-    # blocks may never be visited by the work schedule, leaving
+    rows = attr_table[gid].T  # [9, F_pad]
+    # Padding slots gather a clamped index, and dead blocks (beyond the
+    # live count) are never visited by the backward kernel, leaving
     # uninitialized (possibly NaN) cotangents. jnp.where's transpose is a
     # select, so padding cotangents are dropped outright (a multiply would
     # keep NaN: 0 * NaN = NaN) before they scatter-add into gradients.
-    frag_valid = jnp.arange(f_cap, dtype=jnp.int32) < stream.num_fragments
-    rows = jnp.where(frag_valid[None, :], rows, 0.0)
-    frag_attrs = jnp.concatenate(
-        [rows, jnp.zeros((NUM_ATTRS - rows.shape[0], f_cap), rows.dtype)]
+    rows = jnp.where(sched.valid[None, :], rows, 0.0)
+    # Pad to 16 attribute rows: Mosaic DMA slices must be sublane-tile
+    # aligned (multiples of 8; 16 keeps headroom for future attributes).
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((ATTR_ROWS - rows.shape[0], f_pad_cap), rows.dtype)]
     )
 
-    work_info = pack_work_info(
-        sched.tile, sched.first, sched.last, sched.valid, work_new
-    )
     tiles = rasterize_tiles(
-        frag_attrs,
-        work_info,
-        sched.block,
-        stream.tile_start,
-        stream.tile_end,
+        rows,
+        sched.blk_tile,
+        sched.pad_off,
+        sched.tile_len,
+        sched.live_blocks,
         chunk,
         tiles_x,
         t_total,
@@ -189,12 +176,12 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
         cutoff_sq,
         mode,
     )
-    # Empty tiles get no work item (ops/binning.py), so their output blocks
+    # Empty tiles get no block (ops/binning.py), so their output blocks
     # are never written by the kernel (uninitialized memory, possibly NaN);
     # composite them to pure background here. jnp.where is a select, so the
     # garbage never propagates — forward or backward (non-selected
     # cotangents are dropped).
-    nonempty = stream.tile_end > stream.tile_start
+    nonempty = sched.tile_written
     bg_block = jnp.concatenate(
         [
             jnp.full((1, 1, tiles.shape[2]), float(background[ch]),

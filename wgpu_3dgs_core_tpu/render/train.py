@@ -125,12 +125,12 @@ def fit(
     opt_state = opt.init(params)
     step = make_train_step(camera, jnp.asarray(target, jnp.float32), opt, **kw)
 
+    # Curve contract: one entry per logged step (every ``log_every``-th
+    # when > 0) plus always the final step; ``steps == 0`` returns an
+    # empty curve.
     losses: list[float] = []
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state)
-        if log_every and i % log_every == 0:
+        if (log_every and i % log_every == 0) or i == steps - 1:
             losses.append(float(loss))
-        elif not log_every:
-            pass
-    losses.append(float(loss))
     return params.to_soa(), losses

@@ -7,6 +7,11 @@ image, so this uses Python 3.12's low-overhead sys.monitoring (PEP 669) to
 record executed lines of wgpu_3dgs_core_tpu/ while running pytest, then
 computes line coverage against the compiled statement lines of each module.
 
+Like the reference harness (coverage/coverage.rs:56-130 runs examples,
+doctests, and the test suite), this runs, under one monitoring session:
+pytest over tests/, every examples/*.py (from a temp copy so repo assets
+are untouched), and doctests of the package modules.
+
 Usage: python coverage/run.py [pytest args...]
 """
 
@@ -15,7 +20,9 @@ from __future__ import annotations
 import dis
 import json
 import os
+import shutil
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(REPO, "wgpu_3dgs_core_tpu")
@@ -54,6 +61,66 @@ def _statement_lines(path: str) -> set[int]:
     return lines
 
 
+def _run_examples() -> int:
+    """Execute every example from a temp copy (examples write into their
+    own directory; the repo assets stay untouched)."""
+    import runpy
+
+    rc = 0
+    src = os.path.join(REPO, "examples")
+    with tempfile.TemporaryDirectory() as tmp:
+        exdir = os.path.join(tmp, "examples")
+        shutil.copytree(src, exdir)
+        cwd = os.getcwd()
+        os.chdir(tmp)
+        try:
+            for fn in sorted(os.listdir(exdir)):
+                if not fn.endswith(".py"):
+                    continue
+                path = os.path.join(exdir, fn)
+                # Keep the training example short.
+                sys.argv = [path, "2"] if fn == "fit_scene.py" else [path]
+                print(f"-- example {fn}", flush=True)
+                try:
+                    runpy.run_path(path, run_name="__main__")
+                except SystemExit as e:
+                    rc |= int(bool(e.code))
+                except Exception as e:  # noqa: BLE001
+                    print(f"example {fn} FAILED: {e!r}")
+                    rc = 1
+        finally:
+            os.chdir(cwd)
+    return rc
+
+
+def _run_doctests() -> int:
+    """Doctest every package module (reference: coverage.rs doc tests)."""
+    import doctest
+    import importlib
+
+    rc = 0
+    n = 0
+    for root, _, files in os.walk(PKG):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), REPO)
+            mod_name = rel[:-3].replace(os.sep, ".")
+            if mod_name.endswith(".__init__"):
+                mod_name = mod_name[: -len(".__init__")]
+            try:
+                mod = importlib.import_module(mod_name)
+            except Exception:  # pragma: no cover - optional deps
+                continue
+            res = doctest.testmod(mod, verbose=False)
+            n += res.attempted
+            if res.failed:
+                print(f"doctest FAILED in {mod_name}: {res.failed}")
+                rc = 1
+    print(f"-- doctests: {n} examples")
+    return rc
+
+
 def main() -> int:
     sys.monitoring.use_tool_id(TOOL_ID, "coverage")
     sys.monitoring.register_callback(
@@ -65,6 +132,9 @@ def main() -> int:
 
     args = sys.argv[1:] or ["tests/", "-q"]
     rc = pytest.main(args)
+
+    rc |= _run_examples()
+    rc |= _run_doctests()
 
     sys.monitoring.set_events(TOOL_ID, 0)
     sys.monitoring.free_tool_id(TOOL_ID)

@@ -54,6 +54,7 @@ def render_sharded(
     max_fragments: Optional[int] = None,
     chunk: int = DEFAULT_CHUNK,
     antialiased: bool = False,
+    strip_skew: float = 2.0,
 ) -> RenderResult:
     """Differentiable multi-device render.
 
@@ -61,6 +62,13 @@ def render_sharded(
     ``data`` axis; N must divide evenly by the axis size (use
     ``parallel.mesh.pad_to_multiple`` with zero-opacity padding gaussians).
     Returns a replicated RenderResult.
+
+    ``max_fragments`` is the GLOBAL fragment budget; each device gets a
+    strip-local capacity of ``max_fragments / n_dev * strip_skew`` (the
+    skew factor absorbs uneven fragment concentration across strips).
+    Capacity-proportional work — the attribute gather, the strip sort, the
+    kernel grids — therefore shrinks with the device count instead of
+    replicating (SURVEY.md §7 M6 scaling economics).
     """
     n_dev = mesh.shape[DATA_AXIS]
     h, w_px = camera.height, camera.width
@@ -69,8 +77,9 @@ def render_sharded(
     n = means.shape[0]
 
     if max_fragments is None:
-        # Per-device strip capacity: fragments concentrate 1/n_dev per strip.
-        max_fragments = default_max_fragments(n, tiles_x, rows_per_dev)
+        max_fragments = default_max_fragments(n, tiles_x, tiles_y)
+    if n_dev > 1:
+        max_fragments = int(max_fragments * strip_skew / n_dev)
     f_cap = -(-max_fragments // chunk) * chunk
 
     bg = tuple(background)

@@ -1,15 +1,23 @@
 """Component-level timing of the render pipeline on the real TPU.
 
-Answers, at the bench shape (1M gaussians, 1080p, 8.4M-fragment cap):
-  1. full fwd+bwd step, python-loop amortized   (== bench.py methodology)
-  2. the same step chained x CHAIN inside ONE jit (isolates relay dispatch
-     overhead: if (1) >> (2)/CHAIN, the bench is dispatch-bound, not compute)
-  3. forward-only render
-  4. bin_splats alone (the fragment-scale sort/scan/searchsorted block)
+Times each pipeline slice in isolation at the bench shape so regressions
+and bottlenecks are attributable:
 
-Timing rules from CLAUDE.md: sync via np.asarray (block_until_ready lies on
-axon), enqueue K calls and sync once. Persistent compilation cache enabled so
-re-runs skip the 4-10 min remote compiles.
+  project            EWA projection (N-scale elementwise)
+  bin                expand + (tile, depth) sort + tile ranges
+  sched              bin + pad_schedule (block/tile maps)
+  gather             sched + the [9, F_pad] attribute gather + masking
+  fwd                full forward render
+  kernel_fwd         ONLY the forward Pallas kernel (inputs precomputed)
+  kernel_fwd_bwd     forward + backward Pallas kernels (custom vjp)
+  step               full fwd+bwd with gradients to all five params
+
+Derived: kernel_bwd = kernel_fwd_bwd - kernel_fwd; xla_bwd = (step - fwd)
+- kernel_bwd (the attribute-gather backward scatter-add etc).
+
+Timing rules from CLAUDE.md: sync via np.asarray (block_until_ready lies
+on axon), enqueue K calls and sync once. Persistent compilation cache
+enabled so re-runs skip the remote compiles.
 """
 
 import argparse
@@ -33,20 +41,29 @@ sys.path.insert(0, "/root/repo")
 
 from bench import synthetic_scene  # noqa: E402
 from wgpu_3dgs_core_tpu import Camera, render  # noqa: E402
-from wgpu_3dgs_core_tpu.ops.binning import bin_splats, num_tiles  # noqa: E402
+from wgpu_3dgs_core_tpu.ops.binning import (  # noqa: E402
+    bin_splats,
+    num_tiles,
+    pad_schedule,
+)
 from wgpu_3dgs_core_tpu.ops.projection import project  # noqa: E402
+from wgpu_3dgs_core_tpu.ops.rasterize import (  # noqa: E402
+    ATTR_ROWS,
+    rasterize_tiles,
+)
+from wgpu_3dgs_core_tpu.render.renderer import DEFAULT_CHUNK  # noqa: E402
 
 
-def timed(label, fn, args, iters, sync_out):
-    """Median-of-iters wall time; enqueue all, sync once at the end."""
+def timed(label, fn, args, iters, results, key):
     out = fn(*args)
-    sync_out(out)  # warmup + compile
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]  # compile+warm
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    sync_out(out)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{label:>28s}: {dt:9.2f} ms", flush=True)
+    print(f"{label:>24s}: {dt:9.2f} ms", flush=True)
+    results[key] = round(dt, 2)
     return dt
 
 
@@ -55,14 +72,12 @@ def main():
     p.add_argument("--gaussians", type=int, default=1_000_000)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--max-fragments", type=int, default=8_388_608)
+    p.add_argument("--max-fragments", type=int, default=4_194_304)
     p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--chain", type=int, default=8)
     p.add_argument("--sh-deg", type=int, default=3)
-    p.add_argument("--skip-chain", action="store_true",
-                   help="skip the chained-step probe (its own jit signature "
-                        "costs a fresh multi-minute remote compile)")
+    p.add_argument("--chunk", type=int, default=None)
     args = p.parse_args()
+    chunk = args.chunk or DEFAULT_CHUNK
 
     print(f"devices: {jax.devices()}", flush=True)
     cam = Camera.look_at(
@@ -71,119 +86,128 @@ def main():
     )
     scene = synthetic_scene(args.gaussians)
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
+    tiles_x, tiles_y = num_tiles(args.width, args.height)
+    t_total = tiles_x * tiles_y
     results = {}
 
+    f_cap = -(-args.max_fragments // chunk) * chunk
+    from wgpu_3dgs_core_tpu.ops.rasterize import DEFAULT_GROUP
+    grp = chunk * DEFAULT_GROUP
+    f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
+
+    means, cov6, color, opac, sh = scene
+
+    # ---- pipeline-prefix probes ------------------------------------------
+    @jax.jit
+    def project_only(means, cov6):
+        spl = project(means, cov6, cam)
+        return spl.xy.sum() + spl.extent.sum()
+
+    @jax.jit
+    def bin_only(means, cov6, opac):
+        spl = project(means, cov6, cam, opacity=opac)
+        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
+                        tiles_x, tiles_y, f_cap)
+        return st.gauss_id[::65536].sum() + st.tile_start.sum()
+
+    @jax.jit
+    def sched_only(means, cov6, opac):
+        spl = project(means, cov6, cam, opacity=opac)
+        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
+                        tiles_x, tiles_y, f_cap)
+        sc = pad_schedule(st, chunk, f_pad_cap)
+        return sc.blk_tile[::4096].sum() + sc.live_blocks.sum()
+
+    def build_rows(means, cov6, color, opac, sh):
+        spl = project(means, cov6, cam, opacity=opac)
+        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
+                        tiles_x, tiles_y, f_cap)
+        sc = pad_schedule(st, chunk, f_pad_cap)
+        gid = st.gauss_id[jnp.clip(sc.src, 0, f_cap - 1)]
+        table = jnp.concatenate(
+            [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
+        )
+        rows = table[gid].T
+        rows = jnp.where(sc.valid[None, :], rows, 0.0)
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((ATTR_ROWS - 9, f_pad_cap), rows.dtype)]
+        )
+        return rows, sc
+
+    @jax.jit
+    def gather_only(means, cov6, color, opac, sh):
+        rows, sc = build_rows(means, cov6, color, opac, sh)
+        return rows[:, ::65536].sum()
+
+    # ---- kernel-only probes (inputs precomputed outside the timer) ------
+    rows, sc = jax.jit(build_rows)(*scene)
+    rows = jax.device_put(np.asarray(rows))
+    blk_tile = jax.device_put(np.asarray(sc.blk_tile))
+    pad_off = jax.device_put(np.asarray(sc.pad_off))
+    tile_len = jax.device_put(np.asarray(sc.tile_len))
+    live = jax.device_put(np.asarray(sc.live_blocks))
+    print(f"live blocks: {int(np.asarray(live)[0])} / {f_pad_cap // chunk}",
+          flush=True)
+
+    def kfwd_fn(rows):
+        tiles = rasterize_tiles(
+            rows, blk_tile, pad_off, tile_len, live,
+            chunk, tiles_x, t_total, (0.0, 0.0, 0.0), 9.0, 0,
+        )
+        return jnp.sum(tiles[::64])
+
+    kernel_fwd = jax.jit(kfwd_fn)
+
+    @jax.jit
+    def kernel_fwd_bwd(rows):
+        # Reduce the [16, F_pad] gradient on device: the sync pulls only a
+        # scalar (np.asarray of a 344 MB output through the relay costs
+        # seconds and was misattributed to the kernel).
+        return jax.grad(kfwd_fn)(rows)[:, ::65536].sum()
+
+    # ---- full passes ------------------------------------------------------
     def loss_fn(means, cov6, color, opac, sh):
         res = render(
             means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
             background=(0.0, 0.0, 0.0), max_fragments=args.max_fragments,
+            chunk=chunk,
         )
         return jnp.mean((res.image - target) ** 2), res.overflow
 
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
-                                 has_aux=True)
+    @jax.jit
+    def fwd_only(*s):
+        return loss_fn(*s)[0]
 
     @jax.jit
-    def step(means, cov6, color, opac, sh):
-        (loss, overflow), grads = grad_fn(means, cov6, color, opac, sh)
-        return loss, overflow, grads
+    def step(*s):
+        (loss, _), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(*s)
+        return loss, grads
 
-    @jax.jit
-    def step_chain(means, cov6, color, opac, sh):
-        # CHAIN dependent steps inside one dispatch: sgd-like updates force
-        # sequential execution (no common-subexpression collapse).
-        def body(i, carry):
-            m, c6, col, op, s = carry
-            (loss, _), g = grad_fn(m, c6, col, op, s)
-            lr = 1e-9 * (1.0 + loss)
-            return (m - lr * g[0], c6 - lr * g[1], col - lr * g[2],
-                    op - lr * g[3], s - lr * g[4])
-        out = jax.lax.fori_loop(0, args.chain, body, scene)
-        return out[0]
+    it = args.iters
+    timed("project", project_only, scene[:2], it, results, "project_ms")
+    timed("bin", bin_only, (means, cov6, opac), it, results, "bin_ms")
+    timed("sched", sched_only, (means, cov6, opac), it, results, "sched_ms")
+    timed("gather", gather_only, scene, it, results, "gather_ms")
+    timed("kernel_fwd", kernel_fwd, (rows,), it, results, "kernel_fwd_ms")
+    timed("kernel_fwd+bwd", kernel_fwd_bwd, (rows,), it, results,
+          "kernel_fwd_bwd_ms")
+    timed("fwd", fwd_only, scene, it, results, "fwd_ms")
+    timed("step", step, scene, it, results, "step_ms")
 
-    @jax.jit
-    def fwd_only(means, cov6, color, opac, sh):
-        res = render(
-            means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
-            background=(0.0, 0.0, 0.0), max_fragments=args.max_fragments,
-        )
-        return jnp.sum(res.image)
-
-    tiles_x, tiles_y = num_tiles(args.width, args.height)
-
-    @jax.jit
-    def bin_only(means, cov6, color, opac, sh):
-        spl = project(means, cov6, cam)
-        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
-                        tiles_x, tiles_y, args.max_fragments)
-        return st.gauss_id[::65536].sum() + st.tile_start.sum()
-
-    @jax.jit
-    def project_only(means, cov6, color, opac, sh):
-        spl = project(means, cov6, cam)
-        return spl.xy.sum() + spl.extent.sum()
-
-    # Kernel-only probes: bin ONCE outside the timed graph, then time the
-    # forward Pallas kernel and its hand-derived backward in isolation —
-    # this splits "bwd kernel" from "rest of bwd" (attr scatter-add etc.),
-    # which the step/fwd subtraction above cannot.
-    from wgpu_3dgs_core_tpu.render.renderer import (DEFAULT_CHUNK, rasterize_splats)
-
-    def _prep():
-        spl = project(means_c, cov6_c, cam)
-        return spl
-
-    means_c, cov6_c, color_c, opac_c, sh_c = scene
-
-    @jax.jit
-    def raster_only(means, cov6, color, opac, sh):
-        spl = project(means, cov6, cam)
-        tiles, _ = rasterize_splats(
-            spl.xy, spl.depth, spl.conic, spl.extent, spl.mask,
-            color, opac, tiles_x, tiles_y, args.max_fragments, DEFAULT_CHUNK,
-            (0.0, 0.0, 0.0),
-        )
-        return jnp.sum(tiles[::64])
-
-    @jax.jit
-    def raster_grad(means, cov6, color, opac, sh):
-        def f(xy, conic, color, opac):
-            spl = project(means, cov6, cam)
-            tiles, _ = rasterize_splats(
-                xy, spl.depth, conic, spl.extent, spl.mask,
-                color, opac, tiles_x, tiles_y, args.max_fragments, DEFAULT_CHUNK,
-                (0.0, 0.0, 0.0),
-            )
-            return jnp.sum(tiles * tiles)
-        spl = project(means, cov6, cam)
-        return jax.grad(f, argnums=(0, 1, 2, 3))(
-            spl.xy, spl.conic, color, opac
-        )[0].sum()
-
-    def sync_scalarish(out):
-        leaf = jax.tree.leaves(out)[0]
-        np.asarray(leaf).ravel()[0]
-
-    t0 = time.perf_counter()
-    results["step_ms"] = timed("full step (py loop)", step, scene,
-                               args.iters, sync_scalarish)
-    print(f"  [compile+run took {time.perf_counter()-t0:.0f}s]", flush=True)
-    results["fwd_ms"] = timed("forward only", fwd_only, scene,
-                              args.iters, sync_scalarish)
-    results["bin_ms"] = timed("project+bin only", bin_only, scene,
-                              args.iters, sync_scalarish)
-    results["project_ms"] = timed("project only", project_only, scene,
-                                  args.iters, sync_scalarish)
-    if not args.skip_chain:
-        chain_ms = timed("chained x%d step" % args.chain, step_chain, scene,
-                         max(args.iters // 4, 2), sync_scalarish)
-        results["chain_step_ms"] = chain_ms / args.chain
-        results["dispatch_overhead_ms"] = (
-            results["step_ms"] - results["chain_step_ms"]
-        )
-
-    results["bwd_ms"] = results["step_ms"] - results["fwd_ms"]
-    results["raster_fwd_ms"] = results["fwd_ms"] - results["bin_ms"]
+    results["kernel_bwd_ms"] = round(
+        results["kernel_fwd_bwd_ms"] - results["kernel_fwd_ms"], 2
+    )
+    results["xla_bwd_ms"] = round(
+        results["step_ms"] - results["fwd_ms"] - results["kernel_bwd_ms"], 2
+    )
+    results["gather_slice_ms"] = round(
+        results["gather_ms"] - results["sched_ms"], 2
+    )
+    results["kernel_fwd_slice_ms"] = round(
+        results["fwd_ms"] - results["gather_ms"], 2
+    )
     print(json.dumps(results), flush=True)
 
 

@@ -6,21 +6,25 @@ fragments padded to a chunk multiple, so every chunk-sized block belongs to
 exactly one tile and is processed exactly once — no block sharing, no
 revisit accumulation):
 
-- grid = one program per GROUP of ``group`` blocks, with an inner
-  ``fori_loop`` whose trip count is clamped to the live block count: dead
-  capacity costs nothing, and the per-grid-step dispatch overhead (the
-  dominant kernel cost of the round-1 design, ~4-6 us x 24.6K steps/pass)
-  is amortized over the group.
-- fragment blocks are streamed HBM -> VMEM with a manually double-buffered
-  async-DMA chain that runs across group boundaries (the guide's
-  double-buffer pattern), so DMA always overlaps the previous block's math.
-- fragment attributes are stored attribute-major [9, F_pad] so a block is
-  a (9, chunk) tile: attribute rows broadcast against the 256 tile pixels
+- grid = one program per GROUP of ``group`` blocks. The fragment stream
+  (and the backward's dfrag stream) moves at GROUP granularity through
+  Pallas's own automatic double-buffered pipeline — one [16, group*chunk]
+  block per grid step — and the kernel unrolls a STATIC inner loop over
+  the group's blocks with static slices. Dead blocks (beyond the live
+  count) skip all math via a scalar guard, so dead capacity costs only
+  bandwidth. This amortizes per-grid-step dispatch overhead *and* keeps
+  the scalar core out of the inner loop (a manual per-block DMA chain was
+  measured at ~2-14 us/block of scalar/descriptor overhead; the automatic
+  pipeline at group granularity pays it once per group).
+- fragment attributes are stored attribute-major [16, F_pad] so a block is
+  a (16, chunk) tile: attribute rows broadcast against the 256 tile pixels
   held on the other axis — [256 pixels, chunk frags] VPU math with no
   per-chunk transposes.
 - tile pixel blocks are stored [T, 4, 256] — channels on sublanes, pixels
   on lanes (a trailing dim of 4 would be lane-padded 32x by Mosaic). Tiles
-  are flushed with a second double-buffered DMA chain, once per tile.
+  are flushed once per tile through a manually double-buffered DMA chain
+  (the only manual DMA left in the forward kernel); the backward's
+  per-tile pixel inputs are prefetched one tile ahead on a second chain.
 - the front-to-back transmittance recurrence is computed per block as
   exp(cumsum(log1p(-alpha))) with the exclusive cumsum done as blocked
   strict-lower-triangular matmuls on the MXU.
@@ -58,8 +62,10 @@ ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
 Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
 
-# Blocks per grid step (inner fori_loop trip). Amortizes per-grid-step
-# dispatch overhead; the DMA chain pipelines across groups either way.
+# Blocks per grid step (static inner unroll). Sets the automatic pipeline
+# granularity: bigger groups amortize dispatch overhead, cost more VMEM
+# (2 x ATTR_ROWS x group*chunk f32 in flight) and waste more bandwidth on
+# the ragged last group.
 DEFAULT_GROUP = 8
 
 # The TPU contracts f32 operands as bf16 multi-pass; at DEFAULT precision
@@ -125,7 +131,7 @@ def _chunk_alphas(frag, nlive, tx, ty, chunk,
 
     if mode == 1:
         # Ellipse outline: opaque ring at the cutoff boundary (a deliberate
-        # semantic choice — see docs/ARCHITECTURE.md "display modes").
+        # semantic choice — see docs/ARCHITECTURE.md "Display modes").
         g_exp = jnp.ones_like(q)
         alpha_raw = op * g_exp
         alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
@@ -177,38 +183,19 @@ def _cumsum_lanes(x, chunk, strict):
     return jnp.concatenate(parts, axis=1)
 
 
-# SMEM bookkeeping slots (out-DMA in-flight flags per staging slot).
+# SMEM bookkeeping slots: [0..1] out-DMA in flight per staging slot,
+# [2] flush/issue sequence counter, [3] consume sequence counter.
 _NSCRATCH = 4
-
-
-def _start_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk):
-    slot = jax.lax.rem(b, 2)
-    pltpu.make_async_copy(
-        frag_hbm.at[:, pl.ds(b * chunk, chunk)],
-        frag_buf.at[slot],
-        in_sem.at[slot],
-    ).start()
-
-
-def _wait_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk):
-    slot = jax.lax.rem(b, 2)
-    pltpu.make_async_copy(
-        frag_hbm.at[:, pl.ds(b * chunk, chunk)],
-        frag_buf.at[slot],
-        in_sem.at[slot],
-    ).wait()
-    return slot
 
 
 def _fwd_kernel(
     live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
-    frag_hbm,  # [ATTR_ROWS, F_pad] ANY
-    out_hbm,  # [n_tiles, 4, PIX] ANY
-    frag_buf,  # VMEM (2, ATTR_ROWS, chunk)
+    frag_ref,  # VMEM (ATTR_ROWS, group*chunk) — auto-pipelined group block
+    out_hbm,  # [n_tiles, 4, PIX] HBM (manual per-tile flush)
     out_buf,  # VMEM (2, 4, PIX) flush staging
     state_ref,  # VMEM (PIX, 8): cols 0-2 acc rgb, col 3 T
-    smem,  # SMEM (_NSCRATCH,) int32: [0..1] out-DMA in flight per slot
-    in_sem, out_sem,  # DMA semaphores (2,) each
+    smem,  # SMEM (_NSCRATCH,) int32
+    out_sem,  # DMA semaphores (2,)
     *,
     chunk: int,
     group: int,
@@ -227,90 +214,77 @@ def _fwd_kernel(
         smem[1] = 0
         smem[2] = 0  # flush sequence counter (staging slot parity)
 
-        @pl.when(live > 0)
-        def _():
-            _start_frag_dma(frag_hbm, frag_buf, in_sem, 0, chunk)
-
-    def body(j, carry):
+    for j in range(group):
         b = base + j
 
-        @pl.when(b + 1 < live)
-        def _():
-            _start_frag_dma(frag_hbm, frag_buf, in_sem, b + 1, chunk)
+        @pl.when(b < live)
+        def _(b=b, j=j):
+            t = blk_tile_ref[b]
+            p0 = pad_off_ref[t]
+            ln = tile_len_ref[t]
+            first = b * chunk == p0
+            last = ((b + 1) * chunk >= p0 + ln) | (b == live - 1)
+            nlive = p0 + ln - b * chunk  # live lanes in this block
 
-        slot = _wait_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk)
-
-        t = blk_tile_ref[b]
-        p0 = pad_off_ref[t]
-        ln = tile_len_ref[t]
-        first = b * chunk == p0
-        last = ((b + 1) * chunk >= p0 + ln) | (b == live - 1)
-        nlive = p0 + ln - b * chunk  # live lanes in this block, in (0, K]
-
-        @pl.when(first)
-        def _():
-            state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
-            state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
-
-        # Early-out: once every pixel of the tile is saturated, remaining
-        # fragments blend nothing (the T_MIN floor) and the whole block
-        # body is skippable.
-        alive = jnp.max(state_ref[:, 3]) > T_MIN
-
-        @pl.when(alive)
-        def _():
-            frag = frag_buf[slot]
-            alpha, _, _, _, _, _, _ = _chunk_alphas(
-                frag, nlive, t % tiles_x, t // tiles_x, chunk,
-                cutoff_sq, mode,
-            )
-
-            log1m = jnp.log1p(-alpha)
-            ecs = _cumsum_lanes(log1m, chunk, strict=True)
-
-            t_run = state_ref[:, 3:4]
-            t_i = t_run * jnp.exp(ecs)  # [PIX, K]
-            blend = t_i > T_MIN
-            wgt = jnp.where(blend, alpha * t_i, 0.0)
-
-            # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
-            # contraction instead of three VPU multiply+reduce passes.
-            c_rows = frag[5:8, :]  # [3, K]
-            state_ref[:, 0:3] += jax.lax.dot_general(
-                wgt, c_rows, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HIGH,
-            )
-            state_ref[:, 3:4] = t_run * jnp.exp(
-                jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
-            )
-
-        @pl.when(last)
-        def _():
-            oslot = jax.lax.rem(smem[2], 2)
-            smem[2] += 1
-
-            @pl.when(smem[oslot] > 0)
+            @pl.when(first)
             def _():
+                state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
+                state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+
+            # Early-out: once every pixel of the tile is saturated the
+            # remaining fragments blend nothing (the T_MIN floor).
+            alive = jnp.max(state_ref[:, 3]) > T_MIN
+
+            @pl.when(alive)
+            def _():
+                frag = frag_ref[:, j * chunk:(j + 1) * chunk]
+                alpha, _, _, _, _, _, _ = _chunk_alphas(
+                    frag, nlive, t % tiles_x, t // tiles_x, chunk,
+                    cutoff_sq, mode,
+                )
+
+                log1m = jnp.log1p(-alpha)
+                ecs = _cumsum_lanes(log1m, chunk, strict=True)
+
+                t_run = state_ref[:, 3:4]
+                t_i = t_run * jnp.exp(ecs)  # [PIX, K]
+                blend = t_i > T_MIN
+                wgt = jnp.where(blend, alpha * t_i, 0.0)
+
+                # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
+                # contraction instead of three VPU multiply+reduce passes.
+                c_rows = frag[5:8, :]  # [3, K]
+                state_ref[:, 0:3] += jax.lax.dot_general(
+                    wgt, c_rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HIGH,
+                )
+                state_ref[:, 3:4] = t_run * jnp.exp(
+                    jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
+                            keepdims=True)
+                )
+
+            @pl.when(last)
+            def _():
+                oslot = jax.lax.rem(smem[2], 2)
+                smem[2] += 1
+
+                @pl.when(smem[oslot] > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        out_buf.at[oslot], out_hbm.at[0], out_sem.at[oslot]
+                    ).wait()
+
+                t_f = state_ref[:, 3:4]
+                cols = [
+                    state_ref[:, ch: ch + 1] + t_f * float(bg[ch])
+                    for ch in range(3)
+                ]
+                final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
+                out_buf[oslot] = final.T  # one [256,4] transpose per tile
                 pltpu.make_async_copy(
-                    out_buf.at[oslot], out_hbm.at[0], out_sem.at[oslot]
-                ).wait()
-
-            t_f = state_ref[:, 3:4]
-            cols = [
-                state_ref[:, ch: ch + 1] + t_f * float(bg[ch])
-                for ch in range(3)
-            ]
-            final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
-            out_buf[oslot] = final.T  # one [256,4] transpose per tile
-            pltpu.make_async_copy(
-                out_buf.at[oslot], out_hbm.at[t], out_sem.at[oslot]
-            ).start()
-            smem[oslot] = 1
-
-        return carry
-
-    n_here = jnp.clip(live - base, 0, group)
-    jax.lax.fori_loop(0, n_here, body, 0)
+                    out_buf.at[oslot], out_hbm.at[t], out_sem.at[oslot]
+                ).start()
+                smem[oslot] = 1
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _():
@@ -331,17 +305,14 @@ _BWD_PIX_ROWS = 8
 
 def _bwd_kernel(
     live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
-    frag_hbm,  # [ATTR_ROWS, F_pad] ANY
-    pix_hbm,  # [n_tiles, 8, PIX] ANY: per-tile backward pixel inputs
-    dfrag_hbm,  # out [ATTR_ROWS, F_pad] ANY
-    frag_buf,  # VMEM (2, ATTR_ROWS, chunk)
+    frag_ref,  # VMEM (ATTR_ROWS, group*chunk) — auto-pipelined group block
+    pix_hbm,  # [n_tiles, 8, PIX] HBM: per-tile backward pixel inputs
+    dfrag_ref,  # out VMEM (ATTR_ROWS, group*chunk) — auto-pipelined
     tile_buf,  # VMEM (2, _BWD_PIX_ROWS, PIX) per-tile input staging
-    dfrag_buf,  # VMEM (2, ATTR_ROWS, chunk) out staging
     state_ref,  # VMEM (PIX, 16): 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
     #             6-8 g_rgb, 9-11 c_blend (per-pixel columns)
-    smem,  # SMEM (_NSCRATCH,): [0..1] dfrag-DMA in flight, [2] tile issue
-    #       count, [3] tile consume count
-    in_sem, tile_sem, out_sem,
+    smem,  # SMEM (_NSCRATCH,): [2] tile issue count, [3] consume count
+    tile_sem,  # DMA semaphores (2,)
     *,
     chunk: int,
     group: int,
@@ -363,109 +334,68 @@ def _bwd_kernel(
 
     @pl.when(g == 0)
     def _():
-        smem[0] = 0
-        smem[1] = 0
         smem[2] = 0
         smem[3] = 0
 
         @pl.when(live > 0)
         def _():
-            _start_frag_dma(frag_hbm, frag_buf, in_sem, 0, chunk)
             start_tile_dma(blk_tile_ref[0])
 
-    def body(j, carry):
+    # Dead blocks must still produce zero gradients: the automatic out
+    # pipeline stores this block for every grid step.
+    dfrag_ref[...] = jnp.zeros_like(dfrag_ref)
+
+    for j in range(group):
         b = base + j
 
-        @pl.when(b + 1 < live)
-        def _():
-            _start_frag_dma(frag_hbm, frag_buf, in_sem, b + 1, chunk)
-
+        @pl.when(b < live)
+        def _(b=b, j=j):
             # Prefetch the NEXT tile's pixel inputs as soon as its first
-            # block enters the frag pipeline, so the first-block prologue
-            # below never stalls on a fresh DMA.
-            @pl.when(blk_tile_ref[b + 1] != blk_tile_ref[b])
+            # block is one step away, so the first-block prologue below
+            # never stalls on a fresh DMA.
+            @pl.when((b + 1 < live) & (blk_tile_ref[b + 1] != blk_tile_ref[b]))
             def _():
                 start_tile_dma(blk_tile_ref[b + 1])
 
-        slot = _wait_frag_dma(frag_hbm, frag_buf, in_sem, b, chunk)
+            t = blk_tile_ref[b]
+            p0 = pad_off_ref[t]
+            ln = tile_len_ref[t]
+            first = b * chunk == p0
+            nlive = p0 + ln - b * chunk
 
-        t = blk_tile_ref[b]
-        p0 = pad_off_ref[t]
-        ln = tile_len_ref[t]
-        first = b * chunk == p0
-        nlive = p0 + ln - b * chunk
-
-        @pl.when(first)
-        def _():
-            tslot = jax.lax.rem(smem[3], 2)
-            pltpu.make_async_copy(
-                pix_hbm.at[t], tile_buf.at[tslot], tile_sem.at[tslot]
-            ).wait()
-            smem[3] += 1
-            state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
-            state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
-            # One [8, PIX] -> [PIX, 8] transpose per tile instead of per
-            # block: park everything in pixel-column layout.
-            state_ref[:, 4:12] = jnp.concatenate(
-                [
-                    tile_buf[tslot][4:5].T,  # t_f
-                    tile_buf[tslot][3:4].T,  # gT_total
-                    tile_buf[tslot][0:3].T,  # g_rgb
-                    tile_buf[tslot][5:8].T,  # c_blend
-                ],
-                axis=1,
-            )
-
-        # dfrag staging slot: wait out any previous DMA on it before reuse.
-        oslot = jax.lax.rem(b, 2)
-
-        @pl.when(smem[oslot] > 0)
-        def _():
-            pltpu.make_async_copy(
-                dfrag_buf.at[oslot],
-                dfrag_hbm.at[:, pl.ds(0, chunk)],
-                out_sem.at[oslot],
-            ).wait()
-
-        alive = jnp.max(state_ref[:, 3]) > T_MIN
-
-        @pl.when(alive)
-        def _():
-            _bwd_block_body(
-                frag_buf[slot], dfrag_buf, state_ref, oslot, nlive,
-                t % tiles_x, t // tiles_x,
-                chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
-            )
-
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            dfrag_buf[oslot] = jnp.zeros((ATTR_ROWS, chunk), jnp.float32)
-
-        pltpu.make_async_copy(
-            dfrag_buf.at[oslot],
-            dfrag_hbm.at[:, pl.ds(b * chunk, chunk)],
-            out_sem.at[oslot],
-        ).start()
-        smem[oslot] = 1
-        return carry
-
-    n_here = jnp.clip(live - base, 0, group)
-    jax.lax.fori_loop(0, n_here, body, 0)
-
-    @pl.when(g == pl.num_programs(0) - 1)
-    def _():
-        for s in range(2):
-            @pl.when(smem[s] > 0)
+            @pl.when(first)
             def _():
+                tslot = jax.lax.rem(smem[3], 2)
                 pltpu.make_async_copy(
-                    dfrag_buf.at[s],
-                    dfrag_hbm.at[:, pl.ds(0, chunk)],
-                    out_sem.at[s],
+                    pix_hbm.at[t], tile_buf.at[tslot], tile_sem.at[tslot]
                 ).wait()
-                smem[s] = 0
+                smem[3] += 1
+                state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
+                state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+                # One [8, PIX] -> [PIX, 8] transpose per tile instead of
+                # per block: park everything in pixel-column layout.
+                state_ref[:, 4:12] = jnp.concatenate(
+                    [
+                        tile_buf[tslot][4:5].T,  # t_f
+                        tile_buf[tslot][3:4].T,  # gT_total
+                        tile_buf[tslot][0:3].T,  # g_rgb
+                        tile_buf[tslot][5:8].T,  # c_blend
+                    ],
+                    axis=1,
+                )
+
+            alive = jnp.max(state_ref[:, 3]) > T_MIN
+
+            @pl.when(alive)
+            def _():
+                _bwd_block_body(
+                    frag_ref[:, j * chunk:(j + 1) * chunk], dfrag_ref,
+                    state_ref, j, nlive, t % tiles_x, t // tiles_x,
+                    chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
+                )
 
 
-def _bwd_block_body(frag, dfrag_buf, state_ref, oslot, nlive, tx, ty,
+def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
                     *, chunk, cutoff_sq, mode):
     alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
         frag, nlive, tx, ty, chunk, cutoff_sq, mode,
@@ -552,7 +482,7 @@ def _bwd_block_body(frag, dfrag_buf, state_ref, oslot, nlive, tx, ty,
         d_op = jnp.sum(dalpha, axis=0, keepdims=True)
         d_c0 = d_c1 = d_c2 = d_x = d_y = zero
 
-    dfrag_buf[oslot] = jnp.concatenate(
+    dfrag_ref[:, j * chunk:(j + 1) * chunk] = jnp.concatenate(
         [d_x, d_y, d_c0, d_c1, d_c2, d_color, d_op,
          jnp.zeros((ATTR_ROWS - 9, chunk), jnp.float32)], axis=0
     )
@@ -587,7 +517,8 @@ def rasterize_tiles(
     Returns [n_tiles, 4, 256] f32: RGB rows (background composited) +
     final-transmittance row, pixels on the last axis. Blocks of tiles with
     no fragments are never written (composite them outside, see
-    render/renderer.py).
+    render/renderer.py). ``frag_attrs``'s slot count must be a multiple of
+    ``chunk * group``.
     """
     return _rasterize_fwd_call(
         frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
@@ -595,25 +526,25 @@ def rasterize_tiles(
     )
 
 
-def _hbm_specs(n):
-    return [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
-
-
 def _rasterize_fwd_call(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
                         chunk, tiles_x, n_tiles, bg, cutoff_sq=Q_CUTOFF,
                         mode=0, group=DEFAULT_GROUP):
     b_cap = blk_tile.shape[0]
+    assert frag_attrs.shape[1] % (chunk * group) == 0, (
+        "padded capacity must be a group multiple"
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pl.cdiv(b_cap, group),),
-        in_specs=_hbm_specs(1),
+        in_specs=[
+            pl.BlockSpec((ATTR_ROWS, group * chunk),
+                         lambda g, *p: (0, g)),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, 4, PIX), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
             pltpu.SMEM((_NSCRATCH,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -656,16 +587,17 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pl.cdiv(b_cap, group),),
-        in_specs=_hbm_specs(2),
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        in_specs=[
+            pl.BlockSpec((ATTR_ROWS, group * chunk),
+                         lambda g, *p: (0, g)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((ATTR_ROWS, group * chunk),
+                               lambda g, *p: (0, g)),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, _BWD_PIX_ROWS, PIX), jnp.float32),
-            pltpu.VMEM((2, ATTR_ROWS, chunk), jnp.float32),
             pltpu.VMEM((PIX, 16), jnp.float32),
             pltpu.SMEM((_NSCRATCH,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

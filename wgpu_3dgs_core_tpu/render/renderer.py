@@ -28,7 +28,12 @@ from ..ops.binning import (
     pad_schedule,
 )
 from ..ops.projection import project
-from ..ops.rasterize import ATTR_ROWS, rasterize_tiles, tiles_to_image
+from ..ops.rasterize import (
+    ATTR_ROWS,
+    DEFAULT_GROUP,
+    rasterize_tiles,
+    tiles_to_image,
+)
 from ..ops.sh import gaussian_color
 from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
 from .camera import Camera
@@ -133,8 +138,10 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
     """
     t_total = tiles_x * tiles_y
     # Tile padding adds at most one partial chunk per tile, so this cap
-    # never truncates a stream that fit f_cap (ops/binning.py).
-    f_pad_cap = f_cap + t_total * chunk
+    # never truncates a stream that fit f_cap (ops/binning.py); rounded to
+    # the rasterizer's group granularity.
+    grp = chunk * DEFAULT_GROUP
+    f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
 
     stream = bin_splats(
         xy, extent, depth, mask, tiles_x, tiles_y, f_cap, tile_y_offset

@@ -220,3 +220,18 @@ def test_render_jit_compatible():
     a = np.asarray(f(means, cov6, color, opac))
     b = np.asarray(render(means, cov6, color, opac, CAM, background=BG).image)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_render_single_chunk_capacity():
+    """Regression: a fragment stream whose last tile ends inside the final
+    chunk must not be shifted by the repack slice clamp (f_cap == chunk is
+    the extreme case — every block slice starts in the last chunk)."""
+    means, quats, scales, color, opac, sh = _random_scene(12, seed=5)
+    cov6 = cov3d_from_rot_scale(quats, scales)
+    res = render(means, cov6, color, opac, CAM, sh=sh, sh_deg=3,
+                 background=BG, max_fragments=128)
+    assert not bool(res.overflow)
+    ref = render_reference(means, cov6, color, opac, CAM, sh=sh, sh_deg=3,
+                           background=BG)
+    np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
+                               atol=2e-5, rtol=0)

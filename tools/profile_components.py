@@ -42,9 +42,8 @@ sys.path.insert(0, "/root/repo")
 from bench import synthetic_scene  # noqa: E402
 from wgpu_3dgs_core_tpu import Camera, render  # noqa: E402
 from wgpu_3dgs_core_tpu.ops.binning import (  # noqa: E402
-    bin_splats,
+    bin_splats_attrs,
     num_tiles,
-    pad_schedule,
 )
 from wgpu_3dgs_core_tpu.ops.projection import project  # noqa: E402
 from wgpu_3dgs_core_tpu.ops.rasterize import (  # noqa: E402
@@ -104,48 +103,46 @@ def main():
         return spl.xy.sum() + spl.extent.sum()
 
     @jax.jit
-    def bin_only(means, cov6, opac):
+    def bin_only(means, cov6, color, opac, sh):
         spl = project(means, cov6, cam, opacity=opac)
-        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
-                        tiles_x, tiles_y, f_cap)
-        return st.gauss_id[::65536].sum() + st.tile_start.sum()
-
-    @jax.jit
-    def sched_only(means, cov6, opac):
-        spl = project(means, cov6, cam, opacity=opac)
-        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
-                        tiles_x, tiles_y, f_cap)
-        sc = pad_schedule(st, chunk, f_pad_cap)
-        return sc.blk_tile[::4096].sum() + sc.live_blocks.sum()
-
-    def build_rows(means, cov6, color, opac, sh):
-        spl = project(means, cov6, cam, opacity=opac)
-        st = bin_splats(spl.xy, spl.extent, spl.depth, spl.mask,
-                        tiles_x, tiles_y, f_cap)
-        sc = pad_schedule(st, chunk, f_pad_cap)
-        gid = st.gauss_id[jnp.clip(sc.src, 0, f_cap - 1)]
         table = jnp.concatenate(
             [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
         )
-        rows = table[gid].T
-        rows = jnp.where(sc.valid[None, :], rows, 0.0)
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((ATTR_ROWS - 9, f_pad_cap), rows.dtype)]
+        st, attrs, exp, _, _ = bin_splats_attrs(
+            spl.xy, spl.extent, spl.depth, spl.mask, table.T,
+            tiles_x, tiles_y, f_cap,
         )
-        return rows, sc
+        return attrs[:, ::65536].sum() + st.tile_start.sum()
+
+    from wgpu_3dgs_core_tpu.render.renderer import _bin_fetch
+
+    def build_rows(means, cov6, color, opac, sh):
+        spl = project(means, cov6, cam, opacity=opac)
+        table = jnp.concatenate(
+            [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
+        )
+        return _bin_fetch(
+            table, spl.xy, spl.extent, spl.depth,
+            spl.mask.astype(jnp.float32), 0, tiles_x, tiles_y, f_cap, chunk,
+        )
+
+    @jax.jit
+    def sched_only(means, cov6, color, opac, sh):
+        out = build_rows(means, cov6, color, opac, sh)
+        return out[1][::4096].sum() + out[4].sum()
 
     @jax.jit
     def gather_only(means, cov6, color, opac, sh):
-        rows, sc = build_rows(means, cov6, color, opac, sh)
-        return rows[:, ::65536].sum()
+        out = build_rows(means, cov6, color, opac, sh)
+        return out[0][::64].sum()
 
     # ---- kernel-only probes (inputs precomputed outside the timer) ------
-    rows, sc = jax.jit(build_rows)(*scene)
-    rows = jax.device_put(np.asarray(rows))
-    blk_tile = jax.device_put(np.asarray(sc.blk_tile))
-    pad_off = jax.device_put(np.asarray(sc.pad_off))
-    tile_len = jax.device_put(np.asarray(sc.tile_len))
-    live = jax.device_put(np.asarray(sc.live_blocks))
+    out = jax.jit(build_rows)(*scene)
+    rows = jax.device_put(np.asarray(out[0]))
+    blk_tile = jax.device_put(np.asarray(out[1]))
+    pad_off = jax.device_put(np.asarray(out[2]))
+    tile_len = jax.device_put(np.asarray(out[3]))
+    live = jax.device_put(np.asarray(out[4]))
     print(f"live blocks: {int(np.asarray(live)[0])} / {f_pad_cap // chunk}",
           flush=True)
 
@@ -160,10 +157,10 @@ def main():
 
     @jax.jit
     def kernel_fwd_bwd(rows):
-        # Reduce the [16, F_pad] gradient on device: the sync pulls only a
+        # Reduce the [B, 16, K] gradient on device: the sync pulls only a
         # scalar (np.asarray of a 344 MB output through the relay costs
         # seconds and was misattributed to the kernel).
-        return jax.grad(kfwd_fn)(rows)[:, ::65536].sum()
+        return jax.grad(kfwd_fn)(rows)[::64].sum()
 
     # ---- full passes ------------------------------------------------------
     def loss_fn(means, cov6, color, opac, sh):
@@ -187,8 +184,8 @@ def main():
 
     it = args.iters
     timed("project", project_only, scene[:2], it, results, "project_ms")
-    timed("bin", bin_only, (means, cov6, opac), it, results, "bin_ms")
-    timed("sched", sched_only, (means, cov6, opac), it, results, "sched_ms")
+    timed("bin", bin_only, scene, it, results, "bin_ms")
+    timed("sched", sched_only, scene, it, results, "sched_ms")
     timed("gather", gather_only, scene, it, results, "gather_ms")
     timed("kernel_fwd", kernel_fwd, (rows,), it, results, "kernel_fwd_ms")
     timed("kernel_fwd+bwd", kernel_fwd_bwd, (rows,), it, results,

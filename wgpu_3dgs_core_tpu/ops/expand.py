@@ -127,6 +127,64 @@ def _expand_kernel(win0_ref, total_ref, t0_ref, t1_ref, out_ref, *,
     out_ref[...] = jnp.concatenate([tile_i, gid_i], axis=0)
 
 
+def _expand_attr_kernel(win0_ref, total_ref, t0_ref, t1_ref, a0_ref, a1_ref,
+                        out_ref, attr_ref, *,
+                        k: int, tiles_x: int, t_total: int):
+    """Expansion + per-fragment attribute fetch in one pass.
+
+    The same one-hot owner matrix that resolves (tile, gid) contracts the
+    f32 attribute window [A_ROWS, 2K] on the MXU: a gather with no gather
+    (PERF_NOTES item 2). Attribute values ride at <= 1 ulp under the
+    HIGHEST-precision bf16x3 contraction (one-hot rows select a single
+    column), measured exact enough for the renderer's 1e-4 parity bars.
+    """
+    del win0_ref
+    b = pl.program_id(0)
+    win = jnp.concatenate([t0_ref[...], t1_ref[...]], axis=1)  # [8, 2K]
+    off = win[ROW_OFF_HI: ROW_OFF_HI + 1, :] * _SPLIT + (
+        win[ROW_OFF_LO: ROW_OFF_LO + 1, :]
+    )
+    cnt = win[ROW_COUNT: ROW_COUNT + 1, :]
+    f_col = (b * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)).astype(
+        jnp.float32
+    )
+    oh = ((off <= f_col) & (f_col < off + cnt)).astype(jnp.float32)  # [K,2K]
+
+    ints = jax.lax.dot_general(
+        win, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGH,
+    )
+    ints = jnp.round(ints)
+
+    fi_row = b * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    f_row = fi_row.astype(jnp.float32)
+    off_o = ints[ROW_OFF_HI: ROW_OFF_HI + 1, :] * _SPLIT + (
+        ints[ROW_OFF_LO: ROW_OFF_LO + 1, :]
+    )
+    gid = ints[ROW_GID_HI: ROW_GID_HI + 1, :] * _SPLIT + (
+        ints[ROW_GID_LO: ROW_GID_LO + 1, :]
+    )
+    rank = f_row - off_o
+    span = jnp.maximum(ints[ROW_SPAN: ROW_SPAN + 1, :], 1.0)
+    dy = jnp.floor(rank / span)
+    dx = rank - dy * span
+    tile = (ints[ROW_Y0: ROW_Y0 + 1, :] + dy) * float(tiles_x) + (
+        ints[ROW_X0: ROW_X0 + 1, :] + dx
+    )
+    valid = fi_row < total_ref[0]
+
+    tile_i = jnp.where(valid, tile.astype(jnp.int32), t_total)
+    gid_i = jnp.where(valid, gid.astype(jnp.int32), 0)
+    out_ref[...] = jnp.concatenate([tile_i, gid_i], axis=0)
+
+    # Attribute fetch: [A_ROWS, 2K] x [2K, K] one-hot contraction.
+    awin = jnp.concatenate([a0_ref[...], a1_ref[...]], axis=1)
+    attr_ref[...] = jax.lax.dot_general(
+        awin, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGH,
+    )
+
+
 def build_segment_table(offsets: jnp.ndarray, counts: jnp.ndarray,
                         span_x: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
                         gid: jnp.ndarray, k: int = EXPAND_BLOCK):
@@ -212,3 +270,80 @@ def expand_fragments(tab_t: jnp.ndarray, total: jnp.ndarray, f_cap: int,
         interpret=interpret_mode(),
     )(win0, total32, tab_t, tab_t)
     return out[0], out[1]
+
+
+# Attribute rows carried through the fused expand (row 0 = depth used as
+# the second sort key; rows 1..9 = x, y, conic a/b/c, r, g, b, opacity).
+# Padded to a sublane-tile multiple for aligned windows.
+ATTR_TAB_ROWS = 16
+
+
+def build_attr_table(attr_cols: jnp.ndarray, counts: jnp.ndarray,
+                     k: int = EXPAND_BLOCK) -> jnp.ndarray:
+    """Compact per-gaussian f32 attributes [A, N] into the same layout as
+    :func:`build_segment_table` (same dst scatter, same padding)."""
+    n = counts.shape[0]
+    n_pad = -(-max(n, 1) // k) * k + k
+    nz = counts > 0
+    dst = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    dst = jnp.where(nz, dst, n_pad + k)
+    a = attr_cols.shape[0]
+    pad = jnp.zeros((ATTR_TAB_ROWS - a, attr_cols.shape[1]),
+                    attr_cols.dtype)
+    cols = jnp.concatenate([attr_cols, pad], axis=0)
+    init = jnp.zeros((ATTR_TAB_ROWS, n_pad), jnp.float32)
+    return init.at[:, dst].set(cols, mode="drop")
+
+
+def expand_fragments_with_attrs(tab_t: jnp.ndarray, attr_t: jnp.ndarray,
+                                total: jnp.ndarray, f_cap: int,
+                                tiles_x: int, t_total: int,
+                                k: int = EXPAND_BLOCK):
+    """Expansion fused with the one-hot attribute fetch.
+
+    Returns (tile [f_cap] i32, gid [f_cap] i32, attrs [ATTR_TAB_ROWS,
+    f_cap] f32) in gaussian-major order — the per-fragment attribute fetch
+    without any fragment-scale gather (PERF_NOTES item 2).
+    """
+    assert f_cap % k == 0, "fragment capacity must be a block multiple"
+    n_blocks = f_cap // k
+    n_win = tab_t.shape[1] // k
+
+    off_full = tab_t[ROW_OFF_HI] * _SPLIT + tab_t[ROW_OFF_LO]
+    block_first = (
+        jnp.searchsorted(
+            off_full,
+            (jnp.arange(n_blocks, dtype=jnp.int32) * k).astype(jnp.float32),
+            side="right",
+        ).astype(jnp.int32)
+        - 1
+    )
+    win0 = jnp.clip(block_first // k, 0, n_win - 2).astype(jnp.int32)
+    total32 = jnp.reshape(total.astype(jnp.int32), (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
+            pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b] + 1)),
+            pl.BlockSpec((ATTR_TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
+            pl.BlockSpec((ATTR_TAB_ROWS, k),
+                         lambda b, w0, tt: (0, w0[b] + 1)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, k), lambda b, w0, tt: (0, b)),
+            pl.BlockSpec((ATTR_TAB_ROWS, k), lambda b, w0, tt: (0, b)),
+        ],
+    )
+    ints, attrs = pl.pallas_call(
+        functools.partial(_expand_attr_kernel, k=k, tiles_x=tiles_x,
+                          t_total=t_total),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, f_cap), jnp.int32),
+            jax.ShapeDtypeStruct((ATTR_TAB_ROWS, f_cap), jnp.float32),
+        ],
+        interpret=interpret_mode(),
+    )(win0, total32, tab_t, tab_t, attr_t, attr_t)
+    return ints[0], ints[1], attrs

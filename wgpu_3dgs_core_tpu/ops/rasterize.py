@@ -16,10 +16,10 @@ revisit accumulation):
   the scalar core out of the inner loop (a manual per-block DMA chain was
   measured at ~2-14 us/block of scalar/descriptor overhead; the automatic
   pipeline at group granularity pays it once per group).
-- fragment attributes are stored attribute-major [16, F_pad] so a block is
-  a (16, chunk) tile: attribute rows broadcast against the 256 tile pixels
-  held on the other axis — [256 pixels, chunk frags] VPU math with no
-  per-chunk transposes.
+- fragment attributes are stored block-major [B_cap, 16, chunk] so a
+  block is a (16, chunk) tile: attribute rows broadcast against the 256
+  tile pixels held on the other axis — [256 pixels, chunk frags] VPU math
+  with no per-chunk transposes.
 - tile pixel blocks are stored [T, 4, 256] — channels on sublanes, pixels
   on lanes (a trailing dim of 4 would be lane-padded 32x by Mosaic). Tiles
   are flushed once per tile through a manually double-buffered DMA chain
@@ -190,7 +190,7 @@ _NSCRATCH = 4
 
 def _fwd_kernel(
     live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
-    frag_ref,  # VMEM (ATTR_ROWS, group*chunk) — auto-pipelined group block
+    frag_ref,  # VMEM (group, ATTR_ROWS, chunk) — auto-pipelined group block
     out_hbm,  # [n_tiles, 4, PIX] HBM (manual per-tile flush)
     out_buf,  # VMEM (2, 4, PIX) flush staging
     state_ref,  # VMEM (PIX, 8): cols 0-2 acc rgb, col 3 T
@@ -237,7 +237,7 @@ def _fwd_kernel(
 
             @pl.when(alive)
             def _():
-                frag = frag_ref[:, j * chunk:(j + 1) * chunk]
+                frag = frag_ref[j]
                 alpha, _, _, _, _, _, _ = _chunk_alphas(
                     frag, nlive, t % tiles_x, t // tiles_x, chunk,
                     cutoff_sq, mode,
@@ -305,9 +305,9 @@ _BWD_PIX_ROWS = 8
 
 def _bwd_kernel(
     live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
-    frag_ref,  # VMEM (ATTR_ROWS, group*chunk) — auto-pipelined group block
+    frag_ref,  # VMEM (group, ATTR_ROWS, chunk) — auto-pipelined group block
     pix_hbm,  # [n_tiles, 8, PIX] HBM: per-tile backward pixel inputs
-    dfrag_ref,  # out VMEM (ATTR_ROWS, group*chunk) — auto-pipelined
+    dfrag_ref,  # out VMEM (group, ATTR_ROWS, chunk) — auto-pipelined
     tile_buf,  # VMEM (2, _BWD_PIX_ROWS, PIX) per-tile input staging
     state_ref,  # VMEM (PIX, 16): 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
     #             6-8 g_rgb, 9-11 c_blend (per-pixel columns)
@@ -389,7 +389,7 @@ def _bwd_kernel(
             @pl.when(alive)
             def _():
                 _bwd_block_body(
-                    frag_ref[:, j * chunk:(j + 1) * chunk], dfrag_ref,
+                    frag_ref[j], dfrag_ref,
                     state_ref, j, nlive, t % tiles_x, t // tiles_x,
                     chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
                 )
@@ -482,7 +482,7 @@ def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
         d_op = jnp.sum(dalpha, axis=0, keepdims=True)
         d_c0 = d_c1 = d_c2 = d_x = d_y = zero
 
-    dfrag_ref[:, j * chunk:(j + 1) * chunk] = jnp.concatenate(
+    dfrag_ref[j] = jnp.concatenate(
         [d_x, d_y, d_c0, d_c1, d_c2, d_color, d_op,
          jnp.zeros((ATTR_ROWS - 9, chunk), jnp.float32)], axis=0
     )
@@ -499,7 +499,7 @@ def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def rasterize_tiles(
-    frag_attrs,  # [ATTR_ROWS, F_pad] f32, differentiable
+    frag_attrs,  # [B_cap, ATTR_ROWS, chunk] f32, differentiable
     blk_tile,  # [B_cap] int32: tile owning each padded block
     pad_off,  # [T] int32: tile's first padded slot (chunk-aligned)
     tile_len,  # [T] int32: tile's live fragment count
@@ -517,8 +517,9 @@ def rasterize_tiles(
     Returns [n_tiles, 4, 256] f32: RGB rows (background composited) +
     final-transmittance row, pixels on the last axis. Blocks of tiles with
     no fragments are never written (composite them outside, see
-    render/renderer.py). ``frag_attrs``'s slot count must be a multiple of
-    ``chunk * group``.
+    render/renderer.py). ``frag_attrs`` is block-major: ``frag_attrs[b]``
+    holds block ``b``'s [ATTR_ROWS, chunk] tile; B_cap must be a multiple
+    of ``group``.
     """
     return _rasterize_fwd_call(
         frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
@@ -530,15 +531,15 @@ def _rasterize_fwd_call(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
                         chunk, tiles_x, n_tiles, bg, cutoff_sq=Q_CUTOFF,
                         mode=0, group=DEFAULT_GROUP):
     b_cap = blk_tile.shape[0]
-    assert frag_attrs.shape[1] % (chunk * group) == 0, (
-        "padded capacity must be a group multiple"
+    assert frag_attrs.shape[0] % group == 0, (
+        "padded block capacity must be a group multiple"
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(pl.cdiv(b_cap, group),),
         in_specs=[
-            pl.BlockSpec((ATTR_ROWS, group * chunk),
-                         lambda g, *p: (0, g)),
+            pl.BlockSpec((group, ATTR_ROWS, chunk),
+                         lambda g, *p: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -588,12 +589,12 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
         num_scalar_prefetch=4,
         grid=(pl.cdiv(b_cap, group),),
         in_specs=[
-            pl.BlockSpec((ATTR_ROWS, group * chunk),
-                         lambda g, *p: (0, g)),
+            pl.BlockSpec((group, ATTR_ROWS, chunk),
+                         lambda g, *p: (g, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((ATTR_ROWS, group * chunk),
-                               lambda g, *p: (0, g)),
+        out_specs=pl.BlockSpec((group, ATTR_ROWS, chunk),
+                               lambda g, *p: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, _BWD_PIX_ROWS, PIX), jnp.float32),
             pltpu.VMEM((PIX, 16), jnp.float32),

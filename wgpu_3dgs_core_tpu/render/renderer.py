@@ -9,6 +9,7 @@ GaussianTransform/ModelTransform knobs.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -22,7 +23,7 @@ from ..buffer import (
 )
 from ..layouts import Cov3dFormat, PackedGaussians
 from ..ops.binning import (
-    bin_splats,
+    bin_splats_attrs,
     default_max_fragments,
     num_tiles,
     pad_schedule,
@@ -126,6 +127,127 @@ def render(
     )
 
 
+def _bin_fetch_impl(attr_table, xy, extent, depth, mask_f,
+                    tile_y_offset, tiles_x, tiles_y, f_cap, chunk):
+    """Bin + fused attribute fetch + padded repack (forward).
+
+    Returns (rows3d [B_cap, 16, chunk], blk_tile, pad_off, tile_len,
+    live_blocks, tile_written, overflow) plus the backward residuals
+    (valid, exp_pad, offsets, counts).
+    """
+    t_total = tiles_x * tiles_y
+    grp = chunk * DEFAULT_GROUP
+    # Tile padding adds at most one partial chunk per tile, so this cap
+    # never truncates a stream that fit f_cap (ops/binning.py); rounded to
+    # the rasterizer's group granularity.
+    f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
+    mask = mask_f > 0.5
+
+    stream, attrs_sorted, exp_sorted, offsets, counts = bin_splats_attrs(
+        xy, extent, depth, mask, attr_table.T, tiles_x, tiles_y, f_cap,
+        tile_y_offset,
+    )
+    sched = pad_schedule(stream, chunk, f_pad_cap)
+
+    # [16, F_cap + chunk] sorted matrix: rows 0-8 attributes, row 9 the
+    # fragment's expansion-order position (f32-exact below 2^24; the
+    # backward sort key), rows 10-15 pad. The extra zero chunk at the end
+    # lets a block slice starting anywhere in [0, f_cap] proceed without
+    # clamping — a clamp would silently shift the LAST tile's fragments
+    # whenever its segment ends inside the stream's final chunk.
+    mat = jnp.concatenate(
+        [
+            attrs_sorted,
+            exp_sorted.astype(jnp.float32)[None, :],
+            jnp.zeros((ATTR_ROWS - attrs_sorted.shape[0] - 1, f_cap),
+                      jnp.float32),
+        ],
+        axis=0,
+    )
+    mat = jnp.concatenate(
+        [mat, jnp.zeros((ATTR_ROWS, chunk), jnp.float32)], axis=1
+    )
+
+    # Padded repack: every padded block is a CONTIGUOUS [16, chunk] slice
+    # of the sorted stream (tile segments are contiguous), so the
+    # sorted -> padded permutation is a vmapped dynamic_slice — measured
+    # ~7x cheaper than a random row gather at this scale. Slices may read
+    # past a tile's end into the next tile's fragments; the kernels mask
+    # lanes >= nlive.
+    src_base = sched.src.reshape(-1, chunk)[:, 0]
+    starts = jnp.clip(src_base, 0, f_cap)
+
+    def slice_one(s):
+        return jax.lax.dynamic_slice(mat, (0, s), (ATTR_ROWS, chunk))
+
+    rows3d = jax.vmap(slice_one)(starts)  # [B_cap, 16, chunk]
+
+    out = (rows3d, sched.blk_tile, sched.pad_off, sched.tile_len,
+           sched.live_blocks, sched.tile_written, stream.overflow)
+    res = (sched.valid, offsets, counts)
+    return out, res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _bin_fetch(attr_table, xy, extent, depth, mask_f,
+               tile_y_offset, tiles_x, tiles_y, f_cap, chunk):
+    """Differentiable-in-``attr_table`` binning + attribute fetch.
+
+    The forward never gathers at fragment scale (attributes ride the
+    expansion kernel's one-hot MXU fetch and the tile sort's payload
+    lanes); the backward replaces XLA's F-scale scatter-add (measured
+    ~350 ms at bench shapes) with one payload sort by expansion position
+    plus a diff-of-cumsum segment reduction (~30 ms).
+    """
+    out, _ = _bin_fetch_impl(attr_table, xy, extent, depth, mask_f,
+                             tile_y_offset, tiles_x, tiles_y, f_cap, chunk)
+    return out
+
+
+def _bin_fetch_fwd(attr_table, xy, extent, depth, mask_f,
+                   tile_y_offset, tiles_x, tiles_y, f_cap, chunk):
+    out, res = _bin_fetch_impl(attr_table, xy, extent, depth, mask_f,
+                               tile_y_offset, tiles_x, tiles_y, f_cap, chunk)
+    rows3d = out[0]
+    exp_pad = rows3d[:, 9, :].reshape(-1).astype(jnp.int32)
+    residuals = (res[0], exp_pad, res[1], res[2], xy, extent, depth, mask_f)
+    return out, residuals
+
+
+def _bin_fetch_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
+                   residuals, cots):
+    valid, exp_pad, offsets, counts, xy, extent, depth, mask_f = residuals
+    d_rows3d = cots[0]  # [B_cap, 16, chunk]; other outputs are non-diff
+    f_pad = valid.shape[0]
+    n = offsets.shape[0]
+
+    d = d_rows3d.transpose(1, 0, 2).reshape(ATTR_ROWS, f_pad)
+    slot = jnp.arange(f_pad, dtype=jnp.int32)
+    # Padding/dead slots (zero gradients by kernel construction) get keys
+    # past every live expansion position, so after the sort the live
+    # region is EXACTLY expansion order: present exp values are the
+    # contiguous range [0, num_fragments) (ops/binning.bin_splats_attrs),
+    # hence rank == value and the analytic offsets index directly.
+    key = jnp.where(valid, exp_pad, f_cap + slot)
+    sorted_out = jax.lax.sort(
+        (key,) + tuple(d[i] for i in range(9)), num_keys=1, is_stable=True
+    )
+    ds = jnp.stack(sorted_out[1:], axis=1)  # [F_pad, 9], expansion order
+    cs = jnp.cumsum(ds, axis=0)
+
+    end = jnp.clip(offsets + counts - 1, 0, f_pad - 1)
+    lo = jnp.clip(offsets - 1, 0, f_pad - 1)
+    top = cs[end]  # [N, 9] full-row gathers (fast path)
+    bot = jnp.where((offsets > 0)[:, None], cs[lo], 0.0)
+    d_table = jnp.where((counts > 0)[:, None], top - bot, 0.0)
+
+    return (d_table, jnp.zeros_like(xy), jnp.zeros_like(extent),
+            jnp.zeros_like(depth), jnp.zeros_like(mask_f))
+
+
+_bin_fetch.defvjp(_bin_fetch_fwd, _bin_fetch_bwd)
+
+
 def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
                      tiles_x: int, tiles_y: int, f_cap: int, chunk: int,
                      background: tuple, tile_y_offset=0,
@@ -137,45 +259,32 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
     ``tile_y_offset`` selects a horizontal strip of the global tile grid.
     """
     t_total = tiles_x * tiles_y
-    # Tile padding adds at most one partial chunk per tile, so this cap
-    # never truncates a stream that fit f_cap (ops/binning.py); rounded to
-    # the rasterizer's group granularity.
-    grp = chunk * DEFAULT_GROUP
-    f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
 
-    stream = bin_splats(
-        xy, extent, depth, mask, tiles_x, tiles_y, f_cap, tile_y_offset
-    )
-    sched = pad_schedule(stream, chunk, f_pad_cap)
-
-    # Differentiable gather into the attribute-major padded fragment
-    # stream: one fused row gather of a per-gaussian attribute table (nine
-    # separate scalar gathers at fragment scale are several times slower
-    # on TPU).
-    gid = stream.gauss_id[jnp.clip(sched.src, 0, f_cap - 1)]
+    # All the differentiable per-gaussian attributes the blend kernels
+    # consume; gradients flow back through _bin_fetch's custom vjp (sort +
+    # cumsum segment reduction — no fragment-scale scatter-add).
     opac = opacity * mask  # culled gaussians contribute nothing
     attr_table = jnp.concatenate(
         [xy, conic, rgb, opac[:, None]], axis=1
     )  # [N, 9]
-    rows = attr_table[gid].T  # [9, F_pad]
-    # Padding slots gather a clamped index, and dead blocks (beyond the
-    # live count) are never visited by the backward kernel, leaving
-    # uninitialized (possibly NaN) cotangents. jnp.where's transpose is a
-    # select, so padding cotangents are dropped outright (a multiply would
-    # keep NaN: 0 * NaN = NaN) before they scatter-add into gradients.
-    rows = jnp.where(sched.valid[None, :], rows, 0.0)
-    # Pad to 16 attribute rows: Mosaic DMA slices must be sublane-tile
-    # aligned (multiples of 8; 16 keeps headroom for future attributes).
-    rows = jnp.concatenate(
-        [rows, jnp.zeros((ATTR_ROWS - rows.shape[0], f_pad_cap), rows.dtype)]
-    )
+
+    rows3d, blk_tile, pad_off, tile_len, live_blocks, tile_written, \
+        overflow = _bin_fetch(
+            attr_table,
+            jax.lax.stop_gradient(xy),
+            jax.lax.stop_gradient(extent),
+            jax.lax.stop_gradient(depth),
+            mask.astype(jnp.float32),
+            int(tile_y_offset),
+            tiles_x, tiles_y, f_cap, chunk,
+        )
 
     tiles = rasterize_tiles(
-        rows,
-        sched.blk_tile,
-        sched.pad_off,
-        sched.tile_len,
-        sched.live_blocks,
+        rows3d,
+        blk_tile,
+        pad_off,
+        tile_len,
+        live_blocks,
         chunk,
         tiles_x,
         t_total,
@@ -188,7 +297,7 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
     # composite them to pure background here. jnp.where is a select, so the
     # garbage never propagates — forward or backward (non-selected
     # cotangents are dropped).
-    nonempty = sched.tile_written
+    nonempty = tile_written
     bg_block = jnp.concatenate(
         [
             jnp.full((1, 1, tiles.shape[2]), float(background[ch]),
@@ -199,7 +308,7 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
         axis=1,
     )
     tiles = jnp.where(nonempty[:, None, None], tiles, bg_block)
-    return tiles, stream.overflow
+    return tiles, overflow
 
 
 def render_gaussians(

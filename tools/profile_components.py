@@ -47,8 +47,8 @@ from wgpu_3dgs_core_tpu.ops.binning import (  # noqa: E402
 )
 from wgpu_3dgs_core_tpu.ops.projection import project  # noqa: E402
 from wgpu_3dgs_core_tpu.ops.rasterize import (  # noqa: E402
-    ATTR_ROWS,
-    rasterize_tiles,
+    rasterize_tiles_bwd,
+    rasterize_tiles_fwd,
 )
 from wgpu_3dgs_core_tpu.render.renderer import DEFAULT_CHUNK  # noqa: E402
 
@@ -114,53 +114,64 @@ def main():
         )
         return attrs[:, ::65536].sum() + st.tile_start.sum()
 
-    from wgpu_3dgs_core_tpu.render.renderer import _bin_fetch
+    from wgpu_3dgs_core_tpu.render.renderer import (
+        DEFAULT_GROUP as GRP,
+        _bin_rasterize_impl,
+    )
 
-    def build_rows(means, cov6, color, opac, sh):
+    def build_res(means, cov6, color, opac, sh):
         spl = project(means, cov6, cam, opacity=opac)
         table = jnp.concatenate(
             [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
         )
-        return _bin_fetch(
+        out, res = _bin_rasterize_impl(
             table, spl.xy, spl.extent, spl.depth,
-            spl.mask.astype(jnp.float32), 0, tiles_x, tiles_y, f_cap, chunk,
+            spl.mask.astype(jnp.float32), 0, tiles_x, tiles_y, f_cap,
+            chunk, (0.0, 0.0, 0.0), 9.0, 0,
         )
+        return out, res
 
     @jax.jit
     def sched_only(means, cov6, color, opac, sh):
-        out = build_rows(means, cov6, color, opac, sh)
-        return out[1][::4096].sum() + out[4].sum()
+        _, res = build_res(means, cov6, color, opac, sh)
+        return res[1][::4096].sum() + res[6].sum()  # off, live_blocks
 
     @jax.jit
     def gather_only(means, cov6, color, opac, sh):
-        out = build_rows(means, cov6, color, opac, sh)
+        # full fetch + fwd kernel (the mat never materializes separately
+        # from the kernel in the fused design)
+        out, _ = build_res(means, cov6, color, opac, sh)
         return out[0][::64].sum()
 
     # ---- kernel-only probes (inputs precomputed outside the timer) ------
-    out = jax.jit(build_rows)(*scene)
-    rows = jax.device_put(np.asarray(out[0]))
-    blk_tile = jax.device_put(np.asarray(out[1]))
-    pad_off = jax.device_put(np.asarray(out[2]))
-    tile_len = jax.device_put(np.asarray(out[3]))
-    live = jax.device_put(np.asarray(out[4]))
+    _, res0 = jax.jit(build_res)(*scene)
+    (mat, off, fl, blk_tile, pad_off, tile_len, live, offsets, counts,
+     tiles_out) = [jax.device_put(np.asarray(x)) for x in res0[:10]]
     print(f"live blocks: {int(np.asarray(live)[0])} / {f_pad_cap // chunk}",
           flush=True)
 
-    def kfwd_fn(rows):
-        tiles = rasterize_tiles(
-            rows, blk_tile, pad_off, tile_len, live,
-            chunk, tiles_x, t_total, (0.0, 0.0, 0.0), 9.0, 0,
+    @jax.jit
+    def kernel_fwd(mat):
+        tiles = rasterize_tiles_fwd(
+            mat, off, fl, blk_tile, pad_off, tile_len, live,
+            chunk, tiles_x, t_total, (0.0, 0.0, 0.0), 9.0, 0, GRP,
         )
         return jnp.sum(tiles[::64])
 
-    kernel_fwd = jax.jit(kfwd_fn)
-
     @jax.jit
-    def kernel_fwd_bwd(rows):
-        # Reduce the [B, 16, K] gradient on device: the sync pulls only a
-        # scalar (np.asarray of a 344 MB output through the relay costs
-        # seconds and was misattributed to the kernel).
-        return jax.grad(kfwd_fn)(rows)[::64].sum()
+    def kernel_fwd_bwd(mat):
+        tiles = rasterize_tiles_fwd(
+            mat, off, fl, blk_tile, pad_off, tile_len, live,
+            chunk, tiles_x, t_total, (0.0, 0.0, 0.0), 9.0, 0, GRP,
+        )
+        dfrag = rasterize_tiles_bwd(
+            mat, off, fl, blk_tile, pad_off, tile_len, live,
+            tiles, tiles * 1e-3, chunk, tiles_x, t_total,
+            (0.0, 0.0, 0.0), 9.0, 0, GRP,
+        )
+        # Reduce on device: syncing a 344 MB output through the relay
+        # costs seconds and gets misattributed to the kernel.
+        return dfrag[::64].sum()
 
     # ---- full passes ------------------------------------------------------
     def loss_fn(means, cov6, color, opac, sh):
@@ -187,8 +198,8 @@ def main():
     timed("bin", bin_only, scene, it, results, "bin_ms")
     timed("sched", sched_only, scene, it, results, "sched_ms")
     timed("gather", gather_only, scene, it, results, "gather_ms")
-    timed("kernel_fwd", kernel_fwd, (rows,), it, results, "kernel_fwd_ms")
-    timed("kernel_fwd+bwd", kernel_fwd_bwd, (rows,), it, results,
+    timed("kernel_fwd", kernel_fwd, (mat,), it, results, "kernel_fwd_ms")
+    timed("kernel_fwd+bwd", kernel_fwd_bwd, (mat,), it, results,
           "kernel_fwd_bwd_ms")
     timed("fwd", fwd_only, scene, it, results, "fwd_ms")
     timed("step", step, scene, it, results, "step_ms")

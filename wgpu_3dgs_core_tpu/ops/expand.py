@@ -43,10 +43,11 @@ from .kernel_bundle import interpret_mode
 # Fragment block size: one grid step expands this many fragments. The
 # one-hot contraction cost is linear in the block size (2K MACs/fragment)
 # and stays far below the per-grid-step dispatch overhead, so bigger
-# blocks win: 1024 cuts the grid 4x vs 256 (measured: bin_splats was
-# dominated by expand grid steps at 256) while the [K, 2K] one-hot
-# intermediate stays ~8 MB of VMEM.
-EXPAND_BLOCK = 1024
+# blocks win (measured: bin_splats was dominated by expand grid steps at
+# 256); 512 keeps the [K, 2K] one-hot intermediate at 2 MB of VMEM
+# (1024's 8 MB blew the 16 MB scoped-vmem budget in the fused-attr
+# variant).
+EXPAND_BLOCK = 512
 
 # Segment-table rows (attribute-major, transposed for lane-major access).
 # offset/gid are split into 12-bit halves for MXU-exact contraction.
@@ -150,11 +151,17 @@ def _expand_attr_kernel(win0_ref, total_ref, t0_ref, t1_ref, a0_ref, a1_ref,
     )
     oh = ((off <= f_col) & (f_col < off + cnt)).astype(jnp.float32)  # [K,2K]
 
-    ints = jax.lax.dot_general(
-        win, oh, (((1,), (1,)), ((), ())),
+    # ONE joint contraction for the integer fields and the attributes:
+    # [8 + A, 2K] x [2K, K] (two separate dots doubled the one-hot's VMEM
+    # footprint and blew the scoped-vmem budget).
+    awin = jnp.concatenate([a0_ref[...], a1_ref[...]], axis=1)
+    joint = jnp.concatenate([win, awin], axis=0)
+    fetched = jax.lax.dot_general(
+        joint, oh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HIGH,
     )
-    ints = jnp.round(ints)
+    ints = jnp.round(fetched[:TAB_ROWS])
+    attr_ref[...] = fetched[TAB_ROWS:]
 
     fi_row = b * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     f_row = fi_row.astype(jnp.float32)
@@ -176,13 +183,6 @@ def _expand_attr_kernel(win0_ref, total_ref, t0_ref, t1_ref, a0_ref, a1_ref,
     tile_i = jnp.where(valid, tile.astype(jnp.int32), t_total)
     gid_i = jnp.where(valid, gid.astype(jnp.int32), 0)
     out_ref[...] = jnp.concatenate([tile_i, gid_i], axis=0)
-
-    # Attribute fetch: [A_ROWS, 2K] x [2K, K] one-hot contraction.
-    awin = jnp.concatenate([a0_ref[...], a1_ref[...]], axis=1)
-    attr_ref[...] = jax.lax.dot_general(
-        awin, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
-    )
 
 
 def build_segment_table(offsets: jnp.ndarray, counts: jnp.ndarray,

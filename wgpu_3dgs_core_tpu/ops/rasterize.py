@@ -188,12 +188,31 @@ def _cumsum_lanes(x, chunk, strict):
 _NSCRATCH = 4
 
 
+
+def _load_block(win_buf, off, chunk):
+    """[ATTR_ROWS, chunk] block at dynamic lane offset ``off`` of the
+    staged window pair. Mosaic requires dynamic lane indices to be
+    128-aligned, so load an aligned 2-chunk span and rotate the remainder
+    into place (tpu.dynamic_rotate handles traced shifts)."""
+    base = pl.multiple_of((off // chunk) * chunk, chunk)
+    two = win_buf[:, pl.ds(base, 2 * chunk)]
+    rem = off - base
+    # Left-rotate by rem == right-rotate by (width - rem).
+    rolled = pltpu.roll(two, 2 * chunk - rem, axis=1)
+    return rolled[:, :chunk]
+
+
 def _fwd_kernel(
-    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
-    frag_ref,  # VMEM (group, ATTR_ROWS, chunk) — auto-pipelined group block
+    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref, off_ref, fl_ref,
+    lo_ref, hi_ref,  # VMEM (ATTR_ROWS, group*chunk) x2 — sorted-stream
+    #                  windows; every block is a contiguous slice of their
+    #                  concatenation (no repacked copy of the stream)
     out_hbm,  # [n_tiles, 4, PIX] HBM (manual per-tile flush)
     out_buf,  # VMEM (2, 4, PIX) flush staging
     state_ref,  # VMEM (PIX, 8): cols 0-2 acc rgb, col 3 T
+    win_buf,  # VMEM (ATTR_ROWS, 2*group*chunk + chunk): window pair
+    #           staging (+1 chunk of never-consumed slack for the aligned
+    #           2-chunk loads of _load_block)
     smem,  # SMEM (_NSCRATCH,) int32
     out_sem,  # DMA semaphores (2,)
     *,
@@ -207,6 +226,8 @@ def _fwd_kernel(
     g = pl.program_id(0)
     live = live_ref[0]
     base = g * group
+    win_buf[:, : group * chunk] = lo_ref[...]
+    win_buf[:, group * chunk: 2 * group * chunk] = hi_ref[...]
 
     @pl.when(g == 0)
     def _():
@@ -237,7 +258,7 @@ def _fwd_kernel(
 
             @pl.when(alive)
             def _():
-                frag = frag_ref[j]
+                frag = _load_block(win_buf, off_ref[b], chunk)
                 alpha, _, _, _, _, _, _ = _chunk_alphas(
                     frag, nlive, t % tiles_x, t // tiles_x, chunk,
                     cutoff_sq, mode,
@@ -304,11 +325,12 @@ _BWD_PIX_ROWS = 8
 
 
 def _bwd_kernel(
-    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref,  # prefetch (SMEM)
-    frag_ref,  # VMEM (group, ATTR_ROWS, chunk) — auto-pipelined group block
+    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref, off_ref, fl_ref,
+    lo_ref, hi_ref,  # VMEM (ATTR_ROWS, group*chunk) x2 sorted-stream windows
     pix_hbm,  # [n_tiles, 8, PIX] HBM: per-tile backward pixel inputs
     dfrag_ref,  # out VMEM (group, ATTR_ROWS, chunk) — auto-pipelined
     tile_buf,  # VMEM (2, _BWD_PIX_ROWS, PIX) per-tile input staging
+    win_buf,  # VMEM (ATTR_ROWS, 2*group*chunk + chunk) window staging
     state_ref,  # VMEM (PIX, 16): 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
     #             6-8 g_rgb, 9-11 c_blend (per-pixel columns)
     smem,  # SMEM (_NSCRATCH,): [2] tile issue count, [3] consume count
@@ -324,6 +346,8 @@ def _bwd_kernel(
     g = pl.program_id(0)
     live = live_ref[0]
     base = g * group
+    win_buf[:, : group * chunk] = lo_ref[...]
+    win_buf[:, group * chunk: 2 * group * chunk] = hi_ref[...]
 
     def start_tile_dma(t):
         slot = jax.lax.rem(smem[2], 2)
@@ -341,9 +365,14 @@ def _bwd_kernel(
         def _():
             start_tile_dma(blk_tile_ref[0])
 
-    # Dead blocks must still produce zero gradients: the automatic out
-    # pipeline stores this block for every grid step.
+    # Dead/skipped blocks must still produce zero gradients, and row 9
+    # (the reorder key) must read "invalid" (-1) so their zero entries
+    # don't inflate gaussian 0's segment in the backward segment
+    # reduction. The automatic out pipeline stores this block every step.
     dfrag_ref[...] = jnp.zeros_like(dfrag_ref)
+    dfrag_ref[:, 9:10, :] = -jnp.ones(
+        (group, 1, chunk), jnp.float32
+    )
 
     for j in range(group):
         b = base + j
@@ -388,8 +417,9 @@ def _bwd_kernel(
 
             @pl.when(alive)
             def _():
+                frag = _load_block(win_buf, off_ref[b], chunk)
                 _bwd_block_body(
-                    frag_ref[j], dfrag_ref,
+                    frag, dfrag_ref,
                     state_ref, j, nlive, t % tiles_x, t // tiles_x,
                     chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
                 )
@@ -397,6 +427,8 @@ def _bwd_kernel(
 
 def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
                     *, chunk, cutoff_sq, mode):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    gid_row = jnp.where(lane < nlive, frag[9:10, :], -1.0)
     alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
         frag, nlive, tx, ty, chunk, cutoff_sq, mode,
     )
@@ -483,8 +515,8 @@ def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
         d_c0 = d_c1 = d_c2 = d_x = d_y = zero
 
     dfrag_ref[j] = jnp.concatenate(
-        [d_x, d_y, d_c0, d_c1, d_c2, d_color, d_op,
-         jnp.zeros((ATTR_ROWS - 9, chunk), jnp.float32)], axis=0
+        [d_x, d_y, d_c0, d_c1, d_c2, d_color, d_op, gid_row,
+         jnp.zeros((ATTR_ROWS - 10, chunk), jnp.float32)], axis=0
     )
 
     # advance prefix accumulators
@@ -497,9 +529,23 @@ def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def rasterize_tiles(
-    frag_attrs,  # [B_cap, ATTR_ROWS, chunk] f32, differentiable
+def _window_specs(group, chunk):
+    """Two overlapping sorted-stream windows: block b's fragments live at
+    lane offset off[b] within the concatenation of windows fl[g] and
+    fl[g]+1 (src_base is monotone with increments <= chunk, so a group's
+    blocks always fit in 2 * group * chunk lanes)."""
+    return [
+        pl.BlockSpec((ATTR_ROWS, group * chunk),
+                     lambda g, live, bt, po, tl, off, fl: (0, fl[g])),
+        pl.BlockSpec((ATTR_ROWS, group * chunk),
+                     lambda g, live, bt, po, tl, off, fl: (0, fl[g] + 1)),
+    ]
+
+
+def rasterize_tiles_fwd(
+    mat,  # [ATTR_ROWS, MAT_COLS] f32 sorted stream (row 9 = gid), padded
+    off,  # [B_cap] int32: block's lane offset within its window pair
+    fl,  # [n_groups] int32: window index per group
     blk_tile,  # [B_cap] int32: tile owning each padded block
     pad_off,  # [T] int32: tile's first padded slot (chunk-aligned)
     tile_len,  # [T] int32: tile's live fragment count
@@ -512,39 +558,25 @@ def rasterize_tiles(
     mode: int = 0,
     group: int = DEFAULT_GROUP,
 ):
-    """Rasterize the padded fragment stream into per-tile pixel blocks.
+    """Rasterize the tile-padded view of the sorted fragment stream.
 
     Returns [n_tiles, 4, 256] f32: RGB rows (background composited) +
     final-transmittance row, pixels on the last axis. Blocks of tiles with
-    no fragments are never written (composite them outside, see
-    render/renderer.py). ``frag_attrs`` is block-major: ``frag_attrs[b]``
-    holds block ``b``'s [ATTR_ROWS, chunk] tile; B_cap must be a multiple
-    of ``group``.
+    no fragments are never written (composite them outside). Not
+    differentiable by itself — render/renderer.py wires the custom vjp
+    around binning + this + :func:`rasterize_tiles_bwd`.
     """
-    return _rasterize_fwd_call(
-        frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
-        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
-    )
-
-
-def _rasterize_fwd_call(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
-                        chunk, tiles_x, n_tiles, bg, cutoff_sq=Q_CUTOFF,
-                        mode=0, group=DEFAULT_GROUP):
     b_cap = blk_tile.shape[0]
-    assert frag_attrs.shape[0] % group == 0, (
-        "padded block capacity must be a group multiple"
-    )
+    assert b_cap % group == 0, "block capacity must be a group multiple"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(pl.cdiv(b_cap, group),),
-        in_specs=[
-            pl.BlockSpec((group, ATTR_ROWS, chunk),
-                         lambda g, *p: (g, 0, 0)),
-        ],
+        num_scalar_prefetch=6,
+        grid=(b_cap // group,),
+        in_specs=_window_specs(group, chunk),
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, 4, PIX), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, 2 * group * chunk + chunk), jnp.float32),
             pltpu.SMEM((_NSCRATCH,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -556,22 +588,27 @@ def _rasterize_fwd_call(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PIX), jnp.float32),
         interpret=interpret_mode(),
-    )(live_blocks, blk_tile, pad_off, tile_len, frag_attrs)
+    )(live_blocks, blk_tile, pad_off, tile_len, off, fl, mat, mat)
 
 
-def _rasterize_fwd(frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
-                   chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group):
-    out = _rasterize_fwd_call(
-        frag_attrs, blk_tile, pad_off, tile_len, live_blocks,
-        chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
-    )
-    residuals = (frag_attrs, blk_tile, pad_off, tile_len, live_blocks, out)
-    return out, residuals
+def rasterize_tiles_bwd(
+    mat, off, fl, blk_tile, pad_off, tile_len, live_blocks,
+    out,  # [n_tiles, 4, PIX]: the forward output (residual)
+    g_out,  # [n_tiles, 4, PIX]: its cotangent
+    chunk: int,
+    tiles_x: int,
+    n_tiles: int,
+    bg: tuple,
+    cutoff_sq: float = Q_CUTOFF,
+    mode: int = 0,
+    group: int = DEFAULT_GROUP,
+):
+    """Hand-derived backward: per-block attribute gradients.
 
-
-def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
-                   residuals, g_out):
-    frag_attrs, blk_tile, pad_off, tile_len, live_blocks, out = residuals
+    Returns dfrag [B_cap, ATTR_ROWS, chunk]: rows 0-8 the gradients, row 9
+    the owning gaussian id (-1 on padding/dead lanes) — the key for the
+    caller's sort + segment reduction back to the [N, 9] table.
+    """
     b_cap = blk_tile.shape[0]
 
     # Per-tile backward pixel inputs, all tile-scale elementwise (XLA
@@ -586,34 +623,30 @@ def _rasterize_bwd(chunk, tiles_x, n_tiles, bg, cutoff_sq, mode, group,
     pix_in = jnp.concatenate([g_rgb, g_t_total, t_f, c_blend], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(pl.cdiv(b_cap, group),),
-        in_specs=[
-            pl.BlockSpec((group, ATTR_ROWS, chunk),
-                         lambda g, *p: (g, 0, 0)),
+        num_scalar_prefetch=6,
+        grid=(b_cap // group,),
+        in_specs=_window_specs(group, chunk) + [
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((group, ATTR_ROWS, chunk),
                                lambda g, *p: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, _BWD_PIX_ROWS, PIX), jnp.float32),
+            pltpu.VMEM((ATTR_ROWS, 2 * group * chunk + chunk), jnp.float32),
             pltpu.VMEM((PIX, 16), jnp.float32),
             pltpu.SMEM((_NSCRATCH,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dfrag = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, group=group,
                           tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
                           mode=mode),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(frag_attrs.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_cap, ATTR_ROWS, chunk),
+                                       jnp.float32),
         interpret=interpret_mode(),
-    )(live_blocks, blk_tile, pad_off, tile_len, frag_attrs, pix_in)
-    return (dfrag, None, None, None, None)
-
-
-rasterize_tiles.defvjp(_rasterize_fwd, _rasterize_bwd)
+    )(live_blocks, blk_tile, pad_off, tile_len, off, fl, mat, mat, pix_in)
 
 
 def tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int,

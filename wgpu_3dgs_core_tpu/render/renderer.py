@@ -32,7 +32,8 @@ from ..ops.projection import project
 from ..ops.rasterize import (
     ATTR_ROWS,
     DEFAULT_GROUP,
-    rasterize_tiles,
+    rasterize_tiles_bwd,
+    rasterize_tiles_fwd,
     tiles_to_image,
 )
 from ..ops.sh import gaussian_color
@@ -127,112 +128,127 @@ def render(
     )
 
 
-def _bin_fetch_impl(attr_table, xy, extent, depth, mask_f,
-                    tile_y_offset, tiles_x, tiles_y, f_cap, chunk):
-    """Bin + fused attribute fetch + padded repack (forward).
+def _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
+                        tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
+                        bg, cutoff_sq, mode):
+    """Bin + fused attribute fetch + forward rasterization.
 
-    Returns (rows3d [B_cap, 16, chunk], blk_tile, pad_off, tile_len,
-    live_blocks, tile_written, overflow) plus the backward residuals
-    (valid, exp_pad, offsets, counts).
+    Returns ((tiles, tile_written, overflow), residuals-for-backward).
     """
     t_total = tiles_x * tiles_y
-    grp = chunk * DEFAULT_GROUP
+    group = DEFAULT_GROUP
+    grp = chunk * group
     # Tile padding adds at most one partial chunk per tile, so this cap
     # never truncates a stream that fit f_cap (ops/binning.py); rounded to
     # the rasterizer's group granularity.
     f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
     mask = mask_f > 0.5
 
-    stream, attrs_sorted, exp_sorted, offsets, counts = bin_splats_attrs(
+    stream, attrs_sorted, _, offsets, counts = bin_splats_attrs(
         xy, extent, depth, mask, attr_table.T, tiles_x, tiles_y, f_cap,
         tile_y_offset,
     )
     sched = pad_schedule(stream, chunk, f_pad_cap)
 
-    # [16, F_cap + chunk] sorted matrix: rows 0-8 attributes, row 9 the
-    # fragment's expansion-order position (f32-exact below 2^24; the
-    # backward sort key), rows 10-15 pad. The extra zero chunk at the end
-    # lets a block slice starting anywhere in [0, f_cap] proceed without
-    # clamping — a clamp would silently shift the LAST tile's fragments
-    # whenever its segment ends inside the stream's final chunk.
+    # [16, MAT_COLS] sorted matrix: rows 0-8 attributes, row 9 the owning
+    # gaussian id (f32-exact below 2^24; the backward reorder key), rows
+    # 10-15 pad. Columns padded so any window pair fl, fl+1 with
+    # fl <= f_cap // grp stays in bounds — the kernels read the stream
+    # IN PLACE through two overlapping auto-pipelined windows instead of
+    # repacking a padded copy (a vmapped-slice repack measured ~100 ms at
+    # bench shapes).
+    mat_cols = (-(-f_cap // grp) + 2) * grp
     mat = jnp.concatenate(
         [
             attrs_sorted,
-            exp_sorted.astype(jnp.float32)[None, :],
+            stream.gauss_id.astype(jnp.float32)[None, :],
             jnp.zeros((ATTR_ROWS - attrs_sorted.shape[0] - 1, f_cap),
                       jnp.float32),
         ],
         axis=0,
     )
     mat = jnp.concatenate(
-        [mat, jnp.zeros((ATTR_ROWS, chunk), jnp.float32)], axis=1
+        [mat, jnp.zeros((ATTR_ROWS, mat_cols - f_cap), jnp.float32)], axis=1
     )
 
-    # Padded repack: every padded block is a CONTIGUOUS [16, chunk] slice
-    # of the sorted stream (tile segments are contiguous), so the
-    # sorted -> padded permutation is a vmapped dynamic_slice — measured
-    # ~7x cheaper than a random row gather at this scale. Slices may read
-    # past a tile's end into the next tile's fragments; the kernels mask
-    # lanes >= nlive.
-    src_base = sched.src.reshape(-1, chunk)[:, 0]
-    starts = jnp.clip(src_base, 0, f_cap)
+    # Per-block window coordinates: src_base is monotone nondecreasing
+    # with increments <= chunk (tile segments are contiguous in the
+    # sorted stream), so a group's blocks always fit inside windows
+    # [fl, fl+2) of width grp.
+    src_base = jnp.clip(sched.src.reshape(-1, chunk)[:, 0], 0, f_cap)
+    fl = (src_base[::group] // grp).astype(jnp.int32)
+    off = jnp.clip(
+        src_base - jnp.repeat(fl, group) * grp, 0, 2 * grp - chunk
+    ).astype(jnp.int32)
 
-    def slice_one(s):
-        return jax.lax.dynamic_slice(mat, (0, s), (ATTR_ROWS, chunk))
-
-    rows3d = jax.vmap(slice_one)(starts)  # [B_cap, 16, chunk]
-
-    out = (rows3d, sched.blk_tile, sched.pad_off, sched.tile_len,
-           sched.live_blocks, sched.tile_written, stream.overflow)
-    res = (sched.valid, offsets, counts)
+    tiles = rasterize_tiles_fwd(
+        mat, off, fl, sched.blk_tile, sched.pad_off, sched.tile_len,
+        sched.live_blocks, chunk, tiles_x, t_total, bg, cutoff_sq, mode,
+        group,
+    )
+    out = (tiles, sched.tile_written, stream.overflow)
+    res = (mat, off, fl, sched.blk_tile, sched.pad_off, sched.tile_len,
+           sched.live_blocks, offsets, counts, tiles,
+           xy, extent, depth, mask_f)
     return out, res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _bin_fetch(attr_table, xy, extent, depth, mask_f,
-               tile_y_offset, tiles_x, tiles_y, f_cap, chunk):
-    """Differentiable-in-``attr_table`` binning + attribute fetch.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10,
+                                                    11, 12))
+def _bin_rasterize(attr_table, xy, extent, depth, mask_f,
+                   tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
+                   bg, cutoff_sq, mode):
+    """Differentiable-in-``attr_table`` binning + tiled rasterization.
 
-    The forward never gathers at fragment scale (attributes ride the
-    expansion kernel's one-hot MXU fetch and the tile sort's payload
-    lanes); the backward replaces XLA's F-scale scatter-add (measured
-    ~350 ms at bench shapes) with one payload sort by expansion position
-    plus a diff-of-cumsum segment reduction (~30 ms).
+    Forward: attributes ride the expansion kernel's one-hot MXU fetch and
+    the tile sort's payload lanes, and the rasterizer reads the sorted
+    stream in place through window pairs — no fragment-scale random
+    gather or repack. Backward: the hand-derived kernel emits per-block
+    gradients keyed by gaussian id; one payload sort + a diff-of-cumsum
+    segment reduction at analytic offsets replaces XLA's F-scale
+    scatter-add (measured ~350 ms -> ~30 ms at bench shapes).
     """
-    out, _ = _bin_fetch_impl(attr_table, xy, extent, depth, mask_f,
-                             tile_y_offset, tiles_x, tiles_y, f_cap, chunk)
+    out, _ = _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
+                                 tile_y_offset, tiles_x, tiles_y, f_cap,
+                                 chunk, bg, cutoff_sq, mode)
     return out
 
 
-def _bin_fetch_fwd(attr_table, xy, extent, depth, mask_f,
-                   tile_y_offset, tiles_x, tiles_y, f_cap, chunk):
-    out, res = _bin_fetch_impl(attr_table, xy, extent, depth, mask_f,
-                               tile_y_offset, tiles_x, tiles_y, f_cap, chunk)
-    rows3d = out[0]
-    exp_pad = rows3d[:, 9, :].reshape(-1).astype(jnp.int32)
-    residuals = (res[0], exp_pad, res[1], res[2], xy, extent, depth, mask_f)
-    return out, residuals
+def _bin_rasterize_fwd(attr_table, xy, extent, depth, mask_f,
+                       tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
+                       bg, cutoff_sq, mode):
+    return _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
+                               tile_y_offset, tiles_x, tiles_y, f_cap,
+                               chunk, bg, cutoff_sq, mode)
 
 
-def _bin_fetch_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                   residuals, cots):
-    valid, exp_pad, offsets, counts, xy, extent, depth, mask_f = residuals
-    d_rows3d = cots[0]  # [B_cap, 16, chunk]; other outputs are non-diff
-    f_pad = valid.shape[0]
+def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
+                       bg, cutoff_sq, mode, residuals, cots):
+    (mat, off, fl, blk_tile, pad_off, tile_len, live_blocks, offsets,
+     counts, tiles_out, xy, extent, depth, mask_f) = residuals
+    d_tiles = cots[0]  # other outputs are non-differentiable
+    t_total = tiles_x * tiles_y
+
+    dfrag = rasterize_tiles_bwd(
+        mat, off, fl, blk_tile, pad_off, tile_len, live_blocks,
+        tiles_out, d_tiles, chunk, tiles_x, t_total, bg, cutoff_sq, mode,
+        DEFAULT_GROUP,
+    )  # [B_cap, 16, chunk]: rows 0-8 gradients, row 9 gid key (-1 invalid)
+
+    f_pad = dfrag.shape[0] * chunk
     n = offsets.shape[0]
-
-    d = d_rows3d.transpose(1, 0, 2).reshape(ATTR_ROWS, f_pad)
+    d = dfrag.transpose(1, 0, 2).reshape(ATTR_ROWS, f_pad)
+    gid_key = d[9].astype(jnp.int32)
     slot = jnp.arange(f_pad, dtype=jnp.int32)
-    # Padding/dead slots (zero gradients by kernel construction) get keys
-    # past every live expansion position, so after the sort the live
-    # region is EXACTLY expansion order: present exp values are the
-    # contiguous range [0, num_fragments) (ops/binning.bin_splats_attrs),
-    # hence rank == value and the analytic offsets index directly.
-    key = jnp.where(valid, exp_pad, f_cap + slot)
+    # Invalid lanes (gid -1: padding, dead blocks, early-out skips) get
+    # keys past every real gaussian so the live region after the sort is
+    # gaussian-major with each gaussian's fragments contiguous at the
+    # analytic expansion offsets (each live fragment appears exactly once).
+    key = jnp.where(gid_key >= 0, gid_key, n + slot)
     sorted_out = jax.lax.sort(
         (key,) + tuple(d[i] for i in range(9)), num_keys=1, is_stable=True
     )
-    ds = jnp.stack(sorted_out[1:], axis=1)  # [F_pad, 9], expansion order
+    ds = jnp.stack(sorted_out[1:], axis=1)  # [F_pad, 9], gaussian-major
     cs = jnp.cumsum(ds, axis=0)
 
     end = jnp.clip(offsets + counts - 1, 0, f_pad - 1)
@@ -245,7 +261,7 @@ def _bin_fetch_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
             jnp.zeros_like(depth), jnp.zeros_like(mask_f))
 
 
-_bin_fetch.defvjp(_bin_fetch_fwd, _bin_fetch_bwd)
+_bin_rasterize.defvjp(_bin_rasterize_fwd, _bin_rasterize_bwd)
 
 
 def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
@@ -258,39 +274,23 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
     reused by the single-device and strip-sharded renderers.
     ``tile_y_offset`` selects a horizontal strip of the global tile grid.
     """
-    t_total = tiles_x * tiles_y
-
     # All the differentiable per-gaussian attributes the blend kernels
-    # consume; gradients flow back through _bin_fetch's custom vjp (sort +
-    # cumsum segment reduction — no fragment-scale scatter-add).
+    # consume; gradients flow back through _bin_rasterize's custom vjp
+    # (sort + cumsum segment reduction — no fragment-scale scatter-add).
     opac = opacity * mask  # culled gaussians contribute nothing
     attr_table = jnp.concatenate(
         [xy, conic, rgb, opac[:, None]], axis=1
     )  # [N, 9]
 
-    rows3d, blk_tile, pad_off, tile_len, live_blocks, tile_written, \
-        overflow = _bin_fetch(
-            attr_table,
-            jax.lax.stop_gradient(xy),
-            jax.lax.stop_gradient(extent),
-            jax.lax.stop_gradient(depth),
-            mask.astype(jnp.float32),
-            int(tile_y_offset),
-            tiles_x, tiles_y, f_cap, chunk,
-        )
-
-    tiles = rasterize_tiles(
-        rows3d,
-        blk_tile,
-        pad_off,
-        tile_len,
-        live_blocks,
-        chunk,
-        tiles_x,
-        t_total,
-        tuple(background),
-        cutoff_sq,
-        mode,
+    tiles, tile_written, overflow = _bin_rasterize(
+        attr_table,
+        jax.lax.stop_gradient(xy),
+        jax.lax.stop_gradient(extent),
+        jax.lax.stop_gradient(depth),
+        mask.astype(jnp.float32),
+        int(tile_y_offset),
+        tiles_x, tiles_y, f_cap, chunk,
+        tuple(background), float(cutoff_sq), int(mode),
     )
     # Empty tiles get no block (ops/binning.py), so their output blocks
     # are never written by the kernel (uninitialized memory, possibly NaN);

@@ -273,15 +273,11 @@ def bin_splats_attrs(
     from .expand import EXPAND_BLOCK
 
     if expand_impl == "pallas" and max_fragments % EXPAND_BLOCK == 0:
-        from .expand import (
-            build_attr_table,
-            build_segment_table,
-            expand_fragments_with_attrs,
-        )
+        from .expand import build_tables, expand_fragments_with_attrs
 
-        tab_t = build_segment_table(offsets, counts, span_x, x0, y0, gid_src)
-        attr_t = build_attr_table(
-            jnp.concatenate([depth_key[None, :], attr_cols], axis=0), counts
+        tab_t, attr_t = build_tables(
+            offsets, counts, span_x, x0, y0, gid_src,
+            jnp.concatenate([depth_key[None, :], attr_cols], axis=0),
         )
         tile, gid_unsorted, fetched = expand_fragments_with_attrs(
             tab_t, attr_t, total, max_fragments, tiles_x, t_total

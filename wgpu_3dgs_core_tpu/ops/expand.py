@@ -44,10 +44,9 @@ from .kernel_bundle import interpret_mode
 # one-hot contraction cost is linear in the block size (2K MACs/fragment)
 # and stays far below the per-grid-step dispatch overhead, so bigger
 # blocks win (measured: bin_splats was dominated by expand grid steps at
-# 256); 512 keeps the [K, 2K] one-hot intermediate at 2 MB of VMEM
-# (1024's 8 MB blew the 16 MB scoped-vmem budget in the fused-attr
-# variant).
-EXPAND_BLOCK = 512
+# 256). 1024 works with the SINGLE joint contraction (the [K, 2K] one-hot
+# is 8 MB; two separate dots doubled it past the 16 MB scoped budget).
+EXPAND_BLOCK = 1024
 
 # Segment-table rows (attribute-major, transposed for lane-major access).
 # offset/gid are split into 12-bit halves for MXU-exact contraction.
@@ -347,3 +346,62 @@ def expand_fragments_with_attrs(tab_t: jnp.ndarray, attr_t: jnp.ndarray,
         interpret=interpret_mode(),
     )(win0, total32, tab_t, tab_t, attr_t, attr_t)
     return ints[0], ints[1], attrs
+
+
+def build_tables(offsets, counts, span_x, x0, y0, gid, attr_rows,
+                 k: int = EXPAND_BLOCK):
+    """Compact BOTH tables with one N-scale sort instead of scatters.
+
+    The compaction (nonzero-count gaussians first, stable) is a stable
+    1-key sort with every table column riding as a payload — measured
+    ~10x cheaper than the two `at[:, dst].set` column scatters it
+    replaces (~118 ms at N=1M). Returns (tab_t [TAB_ROWS, n_pad],
+    attr_t [ATTR_TAB_ROWS, n_pad]); tail columns past the live count are
+    rewritten to never-match defaults so the window searchsorted stays
+    monotone.
+    """
+    n = counts.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("expand kernel requires N < 2^24 (f32-exact ids)")
+    n_pad = -(-max(n, 1) // k) * k + k
+    split = jnp.int32(1 << 12)
+
+    int_cols = (
+        (offsets // split).astype(jnp.float32),
+        (offsets % split).astype(jnp.float32),
+        counts.astype(jnp.float32),
+        jnp.maximum(span_x, 1).astype(jnp.float32),
+        x0.astype(jnp.float32),
+        y0.astype(jnp.float32),
+        (gid // split).astype(jnp.float32),
+        (gid % split).astype(jnp.float32),
+    )
+    a = attr_rows.shape[0]
+    key = (counts == 0).astype(jnp.int32)  # zeros last, stable
+    out = jax.lax.sort(
+        (key, *int_cols, *(attr_rows[i] for i in range(a))),
+        num_keys=1, is_stable=True,
+    )
+    n_live = jnp.sum(counts > 0)
+    tail = jnp.arange(n, dtype=jnp.int32) >= n_live
+
+    o_hi = jnp.where(tail, _F32_EXACT / _SPLIT, out[1])
+    o_lo = jnp.where(tail, 0.0, out[2])
+    cnt = jnp.where(tail, 0.0, out[3])
+    tab = jnp.stack([o_hi, o_lo, cnt, *out[4:9]], axis=0)  # [8, N]
+    attr = jnp.stack(out[9:9 + a], axis=0)  # [A, N]
+
+    pad_tab = jnp.zeros((TAB_ROWS, n_pad - n), jnp.float32)
+    pad_tab = pad_tab.at[ROW_OFF_HI].set(_F32_EXACT / _SPLIT)
+    tab_t = jnp.concatenate([tab, pad_tab], axis=1)
+    attr_t = jnp.concatenate(
+        [
+            attr,
+            jnp.zeros((ATTR_TAB_ROWS - a, n), jnp.float32),
+        ],
+        axis=0,
+    )
+    attr_t = jnp.concatenate(
+        [attr_t, jnp.zeros((ATTR_TAB_ROWS, n_pad - n), jnp.float32)], axis=1
+    )
+    return tab_t, attr_t

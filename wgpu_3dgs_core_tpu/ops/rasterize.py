@@ -328,7 +328,8 @@ def _bwd_kernel(
     live_ref, blk_tile_ref, pad_off_ref, tile_len_ref, off_ref, fl_ref,
     lo_ref, hi_ref,  # VMEM (ATTR_ROWS, group*chunk) x2 sorted-stream windows
     pix_hbm,  # [n_tiles, 8, PIX] HBM: per-tile backward pixel inputs
-    dfrag_ref,  # out VMEM (group, ATTR_ROWS, chunk) — auto-pipelined
+    dfrag_ref,  # out VMEM (ATTR_ROWS, group*chunk) — auto-pipelined,
+    #             row-major so the caller's reorder needs no transpose
     tile_buf,  # VMEM (2, _BWD_PIX_ROWS, PIX) per-tile input staging
     win_buf,  # VMEM (ATTR_ROWS, 2*group*chunk + chunk) window staging
     state_ref,  # VMEM (PIX, 16): 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
@@ -370,9 +371,7 @@ def _bwd_kernel(
     # don't inflate gaussian 0's segment in the backward segment
     # reduction. The automatic out pipeline stores this block every step.
     dfrag_ref[...] = jnp.zeros_like(dfrag_ref)
-    dfrag_ref[:, 9:10, :] = -jnp.ones(
-        (group, 1, chunk), jnp.float32
-    )
+    dfrag_ref[9:10, :] = -jnp.ones((1, group * chunk), jnp.float32)
 
     for j in range(group):
         b = base + j
@@ -514,7 +513,7 @@ def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
         d_op = jnp.sum(dalpha, axis=0, keepdims=True)
         d_c0 = d_c1 = d_c2 = d_x = d_y = zero
 
-    dfrag_ref[j] = jnp.concatenate(
+    dfrag_ref[:, j * chunk:(j + 1) * chunk] = jnp.concatenate(
         [d_x, d_y, d_c0, d_c1, d_c2, d_color, d_op, gid_row,
          jnp.zeros((ATTR_ROWS - 10, chunk), jnp.float32)], axis=0
     )
@@ -605,9 +604,9 @@ def rasterize_tiles_bwd(
 ):
     """Hand-derived backward: per-block attribute gradients.
 
-    Returns dfrag [B_cap, ATTR_ROWS, chunk]: rows 0-8 the gradients, row 9
-    the owning gaussian id (-1 on padding/dead lanes) — the key for the
-    caller's sort + segment reduction back to the [N, 9] table.
+    Returns dfrag [ATTR_ROWS, B_cap * chunk]: rows 0-8 the gradients,
+    row 9 the owning gaussian id (-1 on padding/dead lanes) — the key for
+    the caller's sort + segment reduction back to the [N, 9] table.
     """
     b_cap = blk_tile.shape[0]
 
@@ -628,8 +627,8 @@ def rasterize_tiles_bwd(
         in_specs=_window_specs(group, chunk) + [
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((group, ATTR_ROWS, chunk),
-                               lambda g, *p: (g, 0, 0)),
+        out_specs=pl.BlockSpec((ATTR_ROWS, group * chunk),
+                               lambda g, *p: (0, g)),
         scratch_shapes=[
             pltpu.VMEM((2, _BWD_PIX_ROWS, PIX), jnp.float32),
             pltpu.VMEM((ATTR_ROWS, 2 * group * chunk + chunk), jnp.float32),
@@ -643,7 +642,7 @@ def rasterize_tiles_bwd(
                           tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
                           mode=mode),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_cap, ATTR_ROWS, chunk),
+        out_shape=jax.ShapeDtypeStruct((ATTR_ROWS, b_cap * chunk),
                                        jnp.float32),
         interpret=interpret_mode(),
     )(live_blocks, blk_tile, pad_off, tile_len, off, fl, mat, mat, pix_in)

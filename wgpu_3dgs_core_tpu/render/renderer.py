@@ -233,11 +233,11 @@ def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
         mat, off, fl, blk_tile, pad_off, tile_len, live_blocks,
         tiles_out, d_tiles, chunk, tiles_x, t_total, bg, cutoff_sq, mode,
         DEFAULT_GROUP,
-    )  # [B_cap, 16, chunk]: rows 0-8 gradients, row 9 gid key (-1 invalid)
+    )  # [16, F_pad]: rows 0-8 gradients, row 9 gid key (-1 invalid)
 
-    f_pad = dfrag.shape[0] * chunk
+    f_pad = dfrag.shape[1]
     n = offsets.shape[0]
-    d = dfrag.transpose(1, 0, 2).reshape(ATTR_ROWS, f_pad)
+    d = dfrag
     gid_key = d[9].astype(jnp.int32)
     slot = jnp.arange(f_pad, dtype=jnp.int32)
     # Invalid lanes (gid -1: padding, dead blocks, early-out skips) get

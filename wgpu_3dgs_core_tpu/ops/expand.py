@@ -44,9 +44,10 @@ from .kernel_bundle import interpret_mode
 # one-hot contraction cost is linear in the block size (2K MACs/fragment)
 # and stays far below the per-grid-step dispatch overhead, so bigger
 # blocks win (measured: bin_splats was dominated by expand grid steps at
-# 256). 1024 works with the SINGLE joint contraction (the [K, 2K] one-hot
-# is 8 MB; two separate dots doubled it past the 16 MB scoped budget).
-EXPAND_BLOCK = 1024
+# 256), but the one-hot MAC cost is linear in the block: 512 measured
+# ~18 ms/pass vs 1024's ~30+ (and 1024 with two separate contractions
+# blew the 16 MB scoped-vmem budget). 512 is the sweet spot.
+EXPAND_BLOCK = 512
 
 # Segment-table rows (attribute-major, transposed for lane-major access).
 # offset/gid are split into 12-bit halves for MXU-exact contraction.

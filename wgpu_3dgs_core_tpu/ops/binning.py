@@ -6,11 +6,15 @@ duplicate-into-(tile, depth)-keys-and-sort design of the original 3DGS,
 built from static-capacity jnp primitives so everything jits:
 
 1. per-gaussian tile bboxes -> fragment counts -> exclusive offsets
-2. fragment expansion into a fixed-capacity stream (searchsorted inverse)
-3. two stable sorts (depth, then tile) == one sort by (tile, depth, id)
+2. fragment expansion into a fixed-capacity stream (a Pallas one-hot MXU
+   kernel that also fetches each fragment's blend attributes)
+3. ONE stable (tile, depth) 2-key sort; attributes ride as payload
+   columns (measured ~0.15 ms per column vs 30+ ms per fragment-scale
+   gather)
 4. per-tile [start, end) ranges by binary search
-5. a (tile, chunk) work schedule for the streaming rasterizer kernel,
-   also fixed-capacity, with first/last flags for accumulator init/flush
+5. a tile-padded block schedule (pad_schedule): every chunk-sized block
+   belongs to exactly one tile; the rasterizer reads blocks in place
+   from the sorted stream through window pairs
 
 Capacity overflow is detected and returned, never silent (SURVEY.md §7.3).
 """

@@ -6,20 +6,22 @@ fragments padded to a chunk multiple, so every chunk-sized block belongs to
 exactly one tile and is processed exactly once — no block sharing, no
 revisit accumulation):
 
-- grid = one program per GROUP of ``group`` blocks. The fragment stream
-  (and the backward's dfrag stream) moves at GROUP granularity through
-  Pallas's own automatic double-buffered pipeline — one [16, group*chunk]
-  block per grid step — and the kernel unrolls a STATIC inner loop over
-  the group's blocks with static slices. Dead blocks (beyond the live
-  count) skip all math via a scalar guard, so dead capacity costs only
-  bandwidth. This amortizes per-grid-step dispatch overhead *and* keeps
-  the scalar core out of the inner loop (a manual per-block DMA chain was
-  measured at ~2-14 us/block of scalar/descriptor overhead; the automatic
-  pipeline at group granularity pays it once per group).
-- fragment attributes are stored block-major [B_cap, 16, chunk] so a
-  block is a (16, chunk) tile: attribute rows broadcast against the 256
-  tile pixels held on the other axis — [256 pixels, chunk frags] VPU math
-  with no per-chunk transposes.
+- grid = one program per GROUP of ``group`` blocks, with a STATIC inner
+  unroll gated per block on the live count. Dead blocks skip all math,
+  so dead capacity costs only bandwidth; per-grid-step dispatch overhead
+  amortizes over the group, and the scalar core stays out of the inner
+  loop (a manual per-block DMA chain measured ~2-14 us/block of
+  descriptor/semaphore overhead; Pallas's automatic pipeline at group
+  granularity pays it once per group).
+- the kernels read the (tile, depth)-sorted attribute stream IN PLACE:
+  two overlapping auto-pipelined [16, group*chunk] windows cover every
+  block of a group (block start offsets are monotone with increments
+  <= chunk), and each block's [16, chunk] tile is carved from the staged
+  window pair by an aligned two-chunk load + dynamic rotate (Mosaic
+  requires 128-aligned dynamic lane indices). Attribute rows broadcast
+  against the 256 tile pixels held on the other axis — [256 pixels,
+  chunk frags] VPU math with no per-chunk transposes and no repacked
+  copy of the stream.
 - tile pixel blocks are stored [T, 4, 256] — channels on sublanes, pixels
   on lanes (a trailing dim of 4 would be lane-padded 32x by Mosaic). Tiles
   are flushed once per tile through a manually double-buffered DMA chain

@@ -6,8 +6,9 @@ Prints ONE JSON line:
 Baseline target (BASELINE.md): >= 250 Mpix/s fwd+bwd per chip at 1080p on a
 1M-gaussian scene. Mpix/s = (H * W) / seconds per full forward+backward step.
 
-Besides the headline (fwd+bwd on the standard ~2.6-fragments/gaussian
-cloud), the extra keys report a fwd-only split and a heavy scene with
+The default run measures ONLY the headline step (fwd+bwd on the standard
+~2.6-fragments/gaussian cloud) so a cold run fits the driver's timeout;
+`--full` additionally reports a fwd-only split and a heavy scene with
 realistic capture-like overlap (>= 8 fragments/gaussian), so regressions
 are attributable and the number is honest on dense scenes.
 """
@@ -66,10 +67,14 @@ def main():
     parser.add_argument("--chunk", type=int, default=None)
     parser.add_argument("--small", action="store_true",
                         help="tiny config for smoke testing")
-    parser.add_argument("--no-heavy", action="store_true",
-                        help="skip the heavy-overlap scene")
-    parser.add_argument("--no-fwd", action="store_true",
-                        help="skip the forward-only split")
+    # The driver runs plain `python bench.py` under a hard timeout; each
+    # extra jit signature costs 4-10 min of remote compile on a cold cache
+    # (round 2 timed out at rc=124 with zero output). So the default run
+    # measures ONLY the headline step; the fwd-only split and heavy-overlap
+    # scene are opt-in diagnostics.
+    parser.add_argument("--full", action="store_true",
+                        help="also measure fwd-only split and heavy scene "
+                             "(2 extra jit signatures, slow cold-compile)")
     args = parser.parse_args()
 
     if args.small:
@@ -147,7 +152,7 @@ def main():
     msplats_s = args.gaussians / dt / 1e6
 
     extras = {}
-    if not args.no_fwd:
+    if args.full:
         def fwd_loss(means, cov6, color, opac, sh):
             res = render(
                 means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
@@ -161,7 +166,7 @@ def main():
         extras["fwd_ms"] = round(dt_f * 1e3, 2)
         extras["bwd_ms"] = round((dt - dt_f) * 1e3, 2)
 
-    if not args.no_heavy:
+    if args.full:
         hscene = heavy_scene(args.gaussians)
         hstep = make_step(args.heavy_max_fragments)
         dt_h, hout = time_fn(hstep, hscene, args.warmup, args.iters,

@@ -99,6 +99,77 @@ def test_gradients_match_reference_autodiff():
                                    err_msg=name)
 
 
+def test_gradients_saturating_scene():
+    """Regression (round-2 advisor, high): a dense opaque scene saturates
+    tiles past their first chunk, firing the backward kernel's early-out.
+    The gid key row must still be written for every live fragment — a
+    missing key shifts every later gaussian's segment in the sort +
+    analytic-offset reduction and misattributes gradients across unrelated
+    gaussians (was 100% normalized error; must be ~1e-7)."""
+    n = 300
+    rng = np.random.default_rng(7)
+    means = jnp.asarray(
+        np.concatenate(
+            [rng.normal(scale=0.15, size=(n, 2)),
+             rng.uniform(-1.0, 1.0, (n, 1))],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats = jnp.asarray(quats / np.linalg.norm(quats, axis=1, keepdims=True))
+    scales = jnp.asarray(0.08 + 0.1 * rng.random((n, 3)), jnp.float32)
+    color = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    opac = jnp.full((n,), 0.95, jnp.float32)  # saturates in ~2 fragments
+    target = jnp.asarray(rng.random((48, 64, 3)), jnp.float32)
+
+    def loss_tiled(means, quats, scales, color, opac):
+        cov6 = cov3d_from_rot_scale(quats, scales)
+        res = render(means, cov6, color, opac, CAM, background=BG)
+        return jnp.sum((res.image - target) ** 2)
+
+    def loss_ref(means, quats, scales, color, opac):
+        cov6 = cov3d_from_rot_scale(quats, scales)
+        img = render_reference(means, cov6, color, opac, CAM, background=BG)
+        return jnp.sum((img - target) ** 2)
+
+    args = (means, quats, scales, color, opac)
+    # forward parity first (confirms the scene itself is handled)
+    cov6 = cov3d_from_rot_scale(quats, scales)
+    res = render(means, cov6, color, opac, CAM, background=BG)
+    assert not bool(res.overflow)
+    g_tiled = jax.grad(loss_tiled, argnums=tuple(range(5)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
+    for name, a, b in zip(
+        ["means", "quats", "scales", "color", "opac"], g_tiled, g_ref
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4, rtol=0,
+                                   err_msg=name)
+
+
+def test_overflow_zeroes_gradients():
+    """Regression (round-2 advisor, medium): on fragment-capacity overflow
+    the truncated stream no longer matches the analytic segment offsets;
+    the backward must return exactly zero rather than scrambled
+    cross-gaussian gradients."""
+    means, quats, scales, color, opac, _ = _random_scene(n=50, seed=5)
+    cov6 = cov3d_from_rot_scale(quats, scales * 10.0)  # huge splats
+
+    def loss(color, opac):
+        res = render(means, cov6, color, opac, CAM, max_fragments=256,
+                     chunk=256)
+        return jnp.sum(res.image), res.overflow
+
+    (_, overflow), grads = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True
+    )(color, opac)
+    assert bool(overflow)
+    for g in grads:
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
 def test_transmittance_gradient():
     """dL/dT_final flows through the kernel's fourth channel."""
     means, quats, scales, color, opac, _ = _random_scene(n=10, seed=4)

@@ -414,22 +414,33 @@ def _bwd_kernel(
                     axis=1,
                 )
 
+            # The gid key row MUST be written for every LIVE fragment even
+            # when the saturation early-out skips the math: the caller's
+            # segment reduction assumes each live fragment appears exactly
+            # once at the analytic expansion offsets — a missing gid (-1)
+            # shifts every later gaussian's segment and misattributes
+            # gradients across unrelated gaussians. Saturation makes the
+            # gradient ROWS exactly zero (T <= T_MIN => blend == False =>
+            # wgt = dalpha = 0), so skipping the body is exact for them;
+            # only the key must land unconditionally.
+            frag = _load_block(win_buf, off_ref[b], chunk)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            gid_row = jnp.where(lane < nlive, frag[9:10, :], -1.0)
+            dfrag_ref[9:10, j * chunk:(j + 1) * chunk] = gid_row
+
             alive = jnp.max(state_ref[:, 3]) > T_MIN
 
             @pl.when(alive)
             def _():
-                frag = _load_block(win_buf, off_ref[b], chunk)
                 _bwd_block_body(
-                    frag, dfrag_ref,
+                    frag, gid_row, dfrag_ref,
                     state_ref, j, nlive, t % tiles_x, t // tiles_x,
                     chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
                 )
 
 
-def _bwd_block_body(frag, dfrag_ref, state_ref, j, nlive, tx, ty,
+def _bwd_block_body(frag, gid_row, dfrag_ref, state_ref, j, nlive, tx, ty,
                     *, chunk, cutoff_sq, mode):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    gid_row = jnp.where(lane < nlive, frag[9:10, :], -1.0)
     alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
         frag, nlive, tx, ty, chunk, cutoff_sq, mode,
     )

@@ -188,7 +188,7 @@ def _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
     )
     out = (tiles, sched.tile_written, stream.overflow)
     res = (mat, off, fl, sched.blk_tile, sched.pad_off, sched.tile_len,
-           sched.live_blocks, offsets, counts, tiles,
+           sched.live_blocks, offsets, counts, tiles, stream.overflow,
            xy, extent, depth, mask_f)
     return out, res
 
@@ -225,7 +225,7 @@ def _bin_rasterize_fwd(attr_table, xy, extent, depth, mask_f,
 def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
                        bg, cutoff_sq, mode, residuals, cots):
     (mat, off, fl, blk_tile, pad_off, tile_len, live_blocks, offsets,
-     counts, tiles_out, xy, extent, depth, mask_f) = residuals
+     counts, tiles_out, overflow, xy, extent, depth, mask_f) = residuals
     d_tiles = cots[0]  # other outputs are non-differentiable
     t_total = tiles_x * tiles_y
 
@@ -256,6 +256,12 @@ def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
     top = cs[end]  # [N, 9] full-row gathers (fast path)
     bot = jnp.where((offsets > 0)[:, None], cs[lo], 0.0)
     d_table = jnp.where((counts > 0)[:, None], top - bot, 0.0)
+    # On fragment-capacity overflow the sorted stream is truncated but
+    # offsets/counts describe the FULL expansion — the analytic segment
+    # boundaries no longer line up and gradients would scramble across
+    # gaussians. Zero the whole table instead: an overflowing step trains
+    # on nothing rather than on garbage (render/train.py surfaces the flag).
+    d_table = jnp.where(overflow, 0.0, d_table)
 
     return (d_table, jnp.zeros_like(xy), jnp.zeros_like(extent),
             jnp.zeros_like(depth), jnp.zeros_like(mask_f))

@@ -89,7 +89,14 @@ def make_train_step(
     loss_fn=l2_image_loss,
     **render_kw: Any,
 ):
-    """Jitted (params, opt_state) -> (params, opt_state, loss) step."""
+    """Jitted (params, opt_state) -> (params, opt_state, loss, overflow).
+
+    ``overflow`` is the renderer's fragment-capacity flag. When it fires,
+    the custom vjp zeroes the attribute-table gradient (the truncated
+    stream no longer lines up with the analytic segment offsets), so the
+    step trains on *nothing* — callers must raise ``max_fragments``, not
+    ignore the flag. :func:`fit` surfaces it as a warning.
+    """
 
     def loss_of(params: TrainableGaussians):
         means, cov6, color, opacity, sh = params.constrained()
@@ -97,14 +104,16 @@ def make_train_step(
             means, cov6, color, opacity, camera, sh=sh, sh_deg=sh_deg,
             background=background, **render_kw,
         )
-        return loss_fn(res.image, target)
+        return loss_fn(res.image, target), res.overflow
 
     @jax.jit
     def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_of)(params)
+        (loss, overflow), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, overflow
 
     return step
 
@@ -129,8 +138,22 @@ def fit(
     # when > 0) plus always the final step; ``steps == 0`` returns an
     # empty curve.
     losses: list[float] = []
+    warned = False
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss, overflow = step(params, opt_state)
         if (log_every and i % log_every == 0) or i == steps - 1:
+            # Sync only on logged steps (float(loss) already materializes),
+            # so the overflow check never serializes the async dispatch.
             losses.append(float(loss))
+            if not warned and bool(overflow):
+                import warnings
+
+                warnings.warn(
+                    "fragment capacity overflow: gradients are zeroed and "
+                    "the overflowing steps optimized nothing — raise "
+                    "max_fragments",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                warned = True
     return params.to_soa(), losses

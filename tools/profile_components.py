@@ -108,7 +108,7 @@ def main():
         table = jnp.concatenate(
             [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
         )
-        st, attrs, exp, _, _ = bin_splats_attrs(
+        st, attrs, _, _, _ = bin_splats_attrs(
             spl.xy, spl.extent, spl.depth, spl.mask, table.T,
             tiles_x, tiles_y, f_cap,
         )
@@ -125,7 +125,7 @@ def main():
             [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
         )
         out, res = _bin_rasterize_impl(
-            table, spl.xy, spl.extent, spl.depth,
+            table.T, spl.xy, spl.extent, spl.depth,
             spl.mask.astype(jnp.float32), 0, tiles_x, tiles_y, f_cap,
             chunk, (0.0, 0.0, 0.0), 9.0, 0,
         )
@@ -145,7 +145,7 @@ def main():
 
     # ---- kernel-only probes (inputs precomputed outside the timer) ------
     _, res0 = jax.jit(build_res)(*scene)
-    (mat, off, fl, blk_tile, pad_off, tile_len, live, offsets, counts,
+    (mat, off, fl, blk_tile, pad_off, tile_len, live, tab_t, num_frag,
      tiles_out) = [jax.device_put(np.asarray(x)) for x in res0[:10]]
     print(f"live blocks: {int(np.asarray(live)[0])} / {f_pad_cap // chunk}",
           flush=True)

@@ -253,11 +253,14 @@ def bin_splats_attrs(
     (measured: ~0.15 ms per payload column vs ~30+ ms for a fragment-scale
     random gather). Returns
 
-      (stream, attrs_sorted [A, F_cap] f32, exp_sorted [F_cap] i32)
+      (stream, attrs_sorted [A + 1, F_cap] f32,
+       offsets [N] i32, counts [N] i32, tab_t [8, n_pad] f32)
 
-    where ``exp_sorted`` is each fragment's pre-sort (expansion-order)
-    position — present exp values are always the contiguous range
-    [0, num_fragments), which the backward segment reduction relies on.
+    where ``attrs_sorted`` row A is the owning gaussian id as exact f32
+    (the backward reorder key — fetched in-kernel, so no fragment-scale
+    int<->float casts), and ``tab_t`` the compacted segment table
+    (ops/expand.build_tables layout) that the backward segment reduction
+    (ops/segreduce.py) shares with the expansion kernel.
     """
     n = xy.shape[0]
     a = attr_cols.shape[0]
@@ -274,7 +277,7 @@ def bin_splats_attrs(
     overflow = total > max_fragments
     gid_src = jnp.arange(n, dtype=jnp.int32)
 
-    from .expand import EXPAND_BLOCK
+    from .expand import EXPAND_BLOCK, GID_ATTR_ROW
 
     if expand_impl == "pallas" and max_fragments % EXPAND_BLOCK == 0:
         from .expand import build_tables, expand_fragments_with_attrs
@@ -283,29 +286,37 @@ def bin_splats_attrs(
             offsets, counts, span_x, x0, y0, gid_src,
             jnp.concatenate([depth_key[None, :], attr_cols], axis=0),
         )
-        tile, gid_unsorted, fetched = expand_fragments_with_attrs(
+        tile, _, fetched = expand_fragments_with_attrs(
             tab_t, attr_t, total, max_fragments, tiles_x, t_total
         )
         depth_frag = fetched[0]
         payload_rows = [fetched[i] for i in range(1, 1 + a)]
+        payload_rows.append(fetched[GID_ATTR_ROW])
         # Padding slots fetch all-zero attribute columns (no owner), whose
         # depth 0 would sort before live fragments — but their tile is
         # t_total, and tile is the primary key, so they still sort last.
     else:
+        from .expand import build_segment_table
+
         tile, gid_unsorted = _expand_xla(
             offsets, counts, span_x, x0, y0, gid_src, total,
             max_fragments, tiles_x, t_total, n,
         )
         depth_frag = depth_key[gid_unsorted]
         payload_rows = [attr_cols[i][gid_unsorted] for i in range(a)]
+        slot = jnp.arange(max_fragments, dtype=jnp.int32)
+        payload_rows.append(
+            jnp.where(slot < total, gid_unsorted, 0).astype(jnp.float32)
+        )
+        # Fallback path still provides the compacted table the backward
+        # segment reduction needs (scatter-based builder; test-scale only).
+        tab_t = build_segment_table(offsets, counts, span_x, x0, y0, gid_src)
 
-    exp_iota = jnp.arange(max_fragments, dtype=jnp.int32)
     out = jax.lax.sort(
-        (tile, depth_frag, gid_unsorted, exp_iota, *payload_rows),
-        num_keys=2, is_stable=True,
+        (tile, depth_frag, *payload_rows), num_keys=2, is_stable=True,
     )
-    tile_sorted, _, gauss_id, exp_sorted = out[:4]
-    attrs_sorted = jnp.stack(out[4:], axis=0)
+    tile_sorted = out[0]
+    attrs_sorted = jnp.stack(out[2:], axis=0)  # [A + 1, F_cap]
 
     tile_ids = jnp.arange(t_total, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(
@@ -315,14 +326,16 @@ def bin_splats_attrs(
         jnp.int32
     )
     stream = FragmentStream(
-        gauss_id=gauss_id,
+        # Lazily derived from the f32 payload row; DCE'd when unused (the
+        # renderer reads the f32 row directly).
+        gauss_id=attrs_sorted[a].astype(jnp.int32),
         tile_id=tile_sorted,
         num_fragments=jnp.minimum(total, max_fragments).astype(jnp.int32),
         overflow=overflow,
         tile_start=tile_start,
         tile_end=tile_end,
     )
-    return stream, attrs_sorted, exp_sorted, offsets, counts
+    return stream, attrs_sorted, offsets, counts, tab_t
 
 
 def _expand_xla(offsets, counts, span_x, x0, y0, depth_order, total,

@@ -161,7 +161,6 @@ def _expand_attr_kernel(win0_ref, total_ref, t0_ref, t1_ref, a0_ref, a1_ref,
         preferred_element_type=jnp.float32, precision=_HIGH,
     )
     ints = jnp.round(fetched[:TAB_ROWS])
-    attr_ref[...] = fetched[TAB_ROWS:]
 
     fi_row = b * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     f_row = fi_row.astype(jnp.float32)
@@ -179,6 +178,19 @@ def _expand_attr_kernel(win0_ref, total_ref, t0_ref, t1_ref, a0_ref, a1_ref,
         ints[ROW_X0: ROW_X0 + 1, :] + dx
     )
     valid = fi_row < total_ref[0]
+
+    # The owning gaussian id also rides as an f32 attribute row (exact
+    # below 2^24): the renderer's sorted-stream matrix keys the backward
+    # reorder by it, so no fragment-scale int<->float casts downstream.
+    attrs = fetched[TAB_ROWS:]
+    attr_ref[...] = jnp.concatenate(
+        [
+            attrs[:GID_ATTR_ROW],
+            jnp.where(valid, gid, 0.0),
+            attrs[GID_ATTR_ROW + 1:],
+        ],
+        axis=0,
+    )
 
     tile_i = jnp.where(valid, tile.astype(jnp.int32), t_total)
     gid_i = jnp.where(valid, gid.astype(jnp.int32), 0)
@@ -273,9 +285,11 @@ def expand_fragments(tab_t: jnp.ndarray, total: jnp.ndarray, f_cap: int,
 
 
 # Attribute rows carried through the fused expand (row 0 = depth used as
-# the second sort key; rows 1..9 = x, y, conic a/b/c, r, g, b, opacity).
+# the second sort key; rows 1..9 = x, y, conic a/b/c, r, g, b, opacity;
+# row 10 = owning gaussian id as exact f32, written by the kernel).
 # Padded to a sublane-tile multiple for aligned windows.
 ATTR_TAB_ROWS = 16
+GID_ATTR_ROW = 10
 
 
 def build_attr_table(attr_cols: jnp.ndarray, counts: jnp.ndarray,

@@ -36,6 +36,11 @@ from ..ops.rasterize import (
     rasterize_tiles_fwd,
     tiles_to_image,
 )
+from ..ops.segreduce import (
+    gid_column,
+    segment_sums_sorted,
+    uncompact_columns,
+)
 from ..ops.sh import gaussian_color
 from ..ops.transforms import unpack_color, unpack_cov3d, unpack_sh
 from .camera import Camera
@@ -128,11 +133,14 @@ def render(
     )
 
 
-def _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
+def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                         tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
                         bg, cutoff_sq, mode):
     """Bin + fused attribute fetch + forward rasterization.
 
+    ``attr_cols`` is attribute-major [9, N] (lanes = gaussians) so both
+    the forward fetch and the backward segment reduction work in
+    lane-friendly layouts end to end.
     Returns ((tiles, tile_written, overflow), residuals-for-backward).
     """
     t_total = tiles_x * tiles_y
@@ -144,25 +152,24 @@ def _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
     f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
     mask = mask_f > 0.5
 
-    stream, attrs_sorted, _, offsets, counts = bin_splats_attrs(
-        xy, extent, depth, mask, attr_table.T, tiles_x, tiles_y, f_cap,
+    stream, attrs_sorted, offsets, counts, tab_t = bin_splats_attrs(
+        xy, extent, depth, mask, attr_cols, tiles_x, tiles_y, f_cap,
         tile_y_offset,
     )
     sched = pad_schedule(stream, chunk, f_pad_cap)
 
     # [16, MAT_COLS] sorted matrix: rows 0-8 attributes, row 9 the owning
-    # gaussian id (f32-exact below 2^24; the backward reorder key), rows
-    # 10-15 pad. Columns padded so any window pair fl, fl+1 with
-    # fl <= f_cap // grp stays in bounds — the kernels read the stream
-    # IN PLACE through two overlapping auto-pipelined windows instead of
-    # repacking a padded copy (a vmapped-slice repack measured ~100 ms at
-    # bench shapes).
+    # gaussian id (f32-exact below 2^24; the backward reorder key — rode
+    # the expand fetch + sort as an f32 payload), rows 10-15 pad. Columns
+    # padded so any window pair fl, fl+1 with fl <= f_cap // grp stays in
+    # bounds — the kernels read the stream IN PLACE through two
+    # overlapping auto-pipelined windows instead of repacking a padded
+    # copy (a vmapped-slice repack measured ~100 ms at bench shapes).
     mat_cols = (-(-f_cap // grp) + 2) * grp
     mat = jnp.concatenate(
         [
             attrs_sorted,
-            stream.gauss_id.astype(jnp.float32)[None, :],
-            jnp.zeros((ATTR_ROWS - attrs_sorted.shape[0] - 1, f_cap),
+            jnp.zeros((ATTR_ROWS - attrs_sorted.shape[0], f_cap),
                       jnp.float32),
         ],
         axis=0,
@@ -188,44 +195,45 @@ def _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
     )
     out = (tiles, sched.tile_written, stream.overflow)
     res = (mat, off, fl, sched.blk_tile, sched.pad_off, sched.tile_len,
-           sched.live_blocks, offsets, counts, tiles, stream.overflow,
-           xy, extent, depth, mask_f)
+           sched.live_blocks, tab_t, stream.num_fragments, tiles,
+           stream.overflow, xy, extent, depth, mask_f)
     return out, res
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10,
                                                     11, 12))
-def _bin_rasterize(attr_table, xy, extent, depth, mask_f,
+def _bin_rasterize(attr_cols, xy, extent, depth, mask_f,
                    tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
                    bg, cutoff_sq, mode):
-    """Differentiable-in-``attr_table`` binning + tiled rasterization.
+    """Differentiable-in-``attr_cols`` binning + tiled rasterization.
 
     Forward: attributes ride the expansion kernel's one-hot MXU fetch and
     the tile sort's payload lanes, and the rasterizer reads the sorted
     stream in place through window pairs — no fragment-scale random
     gather or repack. Backward: the hand-derived kernel emits per-block
-    gradients keyed by gaussian id; one payload sort + a diff-of-cumsum
-    segment reduction at analytic offsets replaces XLA's F-scale
-    scatter-add (measured ~350 ms -> ~30 ms at bench shapes).
+    gradients keyed by gaussian id; one payload sort + two Pallas one-hot
+    window kernels (ops/segreduce.py) reduce them to the [9, N] table —
+    replacing XLA's F-scale scatter-add (~350 ms) and the diff-of-cumsum
+    tail's stack/cumsum/boundary-gathers (~55 ms) at bench shapes.
     """
-    out, _ = _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
+    out, _ = _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                                  tile_y_offset, tiles_x, tiles_y, f_cap,
                                  chunk, bg, cutoff_sq, mode)
     return out
 
 
-def _bin_rasterize_fwd(attr_table, xy, extent, depth, mask_f,
+def _bin_rasterize_fwd(attr_cols, xy, extent, depth, mask_f,
                        tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
                        bg, cutoff_sq, mode):
-    return _bin_rasterize_impl(attr_table, xy, extent, depth, mask_f,
+    return _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                                tile_y_offset, tiles_x, tiles_y, f_cap,
                                chunk, bg, cutoff_sq, mode)
 
 
 def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
                        bg, cutoff_sq, mode, residuals, cots):
-    (mat, off, fl, blk_tile, pad_off, tile_len, live_blocks, offsets,
-     counts, tiles_out, overflow, xy, extent, depth, mask_f) = residuals
+    (mat, off, fl, blk_tile, pad_off, tile_len, live_blocks, tab_t,
+     num_frag, tiles_out, overflow, xy, extent, depth, mask_f) = residuals
     d_tiles = cots[0]  # other outputs are non-differentiable
     t_total = tiles_x * tiles_y
 
@@ -236,34 +244,38 @@ def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
     )  # [16, F_pad]: rows 0-8 gradients, row 9 gid key (-1 invalid)
 
     f_pad = dfrag.shape[1]
-    n = offsets.shape[0]
-    d = dfrag
-    gid_key = d[9].astype(jnp.int32)
+    n = xy.shape[0]
+    gid_key = dfrag[9].astype(jnp.int32)
     slot = jnp.arange(f_pad, dtype=jnp.int32)
-    # Invalid lanes (gid -1: padding, dead blocks, early-out skips) get
-    # keys past every real gaussian so the live region after the sort is
-    # gaussian-major with each gaussian's fragments contiguous at the
-    # analytic expansion offsets (each live fragment appears exactly once).
+    # Invalid lanes (gid -1: padding, dead blocks) get keys past every
+    # real gaussian so the live region after the sort is gaussian-major.
+    # Stability is NOT needed: the segment reduction matches keys by
+    # equality, so only grouping matters, not order within a group.
     key = jnp.where(gid_key >= 0, gid_key, n + slot)
     sorted_out = jax.lax.sort(
-        (key,) + tuple(d[i] for i in range(9)), num_keys=1, is_stable=True
+        (key,) + tuple(dfrag[i] for i in range(9)), num_keys=1,
+        is_stable=False,
     )
-    ds = jnp.stack(sorted_out[1:], axis=1)  # [F_pad, 9], gaussian-major
-    cs = jnp.cumsum(ds, axis=0)
+    dg16 = jnp.concatenate(
+        [
+            jnp.stack(sorted_out[1:], axis=0),  # [9, F_pad]
+            sorted_out[0].astype(jnp.float32)[None, :],  # key row
+            jnp.zeros((6, f_pad), jnp.float32),
+        ],
+        axis=0,
+    )
+    n_live = jnp.sum(tab_t[2] > 0).astype(jnp.int32)  # ROW_COUNT > 0
+    gid_mono = gid_column(tab_t, n_live)
+    d_comp = segment_sums_sorted(dg16, gid_mono, num_frag)
+    d_full = uncompact_columns(d_comp, gid_mono, n)  # [16, N]
+    # On fragment-capacity overflow the stream is truncated; the equality
+    # match cannot misattribute (missing fragments just contribute
+    # nothing), but the truncated forward image makes the step's
+    # gradients an arbitrary subset — zero the table so an overflowing
+    # step trains on nothing (render/train.py surfaces the flag).
+    d_cols = jnp.where(overflow, 0.0, d_full[0:9])
 
-    end = jnp.clip(offsets + counts - 1, 0, f_pad - 1)
-    lo = jnp.clip(offsets - 1, 0, f_pad - 1)
-    top = cs[end]  # [N, 9] full-row gathers (fast path)
-    bot = jnp.where((offsets > 0)[:, None], cs[lo], 0.0)
-    d_table = jnp.where((counts > 0)[:, None], top - bot, 0.0)
-    # On fragment-capacity overflow the sorted stream is truncated but
-    # offsets/counts describe the FULL expansion — the analytic segment
-    # boundaries no longer line up and gradients would scramble across
-    # gaussians. Zero the whole table instead: an overflowing step trains
-    # on nothing rather than on garbage (render/train.py surfaces the flag).
-    d_table = jnp.where(overflow, 0.0, d_table)
-
-    return (d_table, jnp.zeros_like(xy), jnp.zeros_like(extent),
+    return (d_cols, jnp.zeros_like(xy), jnp.zeros_like(extent),
             jnp.zeros_like(depth), jnp.zeros_like(mask_f))
 
 
@@ -281,15 +293,16 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
     ``tile_y_offset`` selects a horizontal strip of the global tile grid.
     """
     # All the differentiable per-gaussian attributes the blend kernels
-    # consume; gradients flow back through _bin_rasterize's custom vjp
-    # (sort + cumsum segment reduction — no fragment-scale scatter-add).
+    # consume, attribute-major [9, N]; gradients flow back through
+    # _bin_rasterize's custom vjp (sort + Pallas one-hot segment
+    # reduction — no fragment-scale scatter-add).
     opac = opacity * mask  # culled gaussians contribute nothing
-    attr_table = jnp.concatenate(
-        [xy, conic, rgb, opac[:, None]], axis=1
-    )  # [N, 9]
+    attr_cols = jnp.concatenate(
+        [xy.T, conic.T, rgb.T, opac[None, :]], axis=0
+    )  # [9, N]
 
     tiles, tile_written, overflow = _bin_rasterize(
-        attr_table,
+        attr_cols,
         jax.lax.stop_gradient(xy),
         jax.lax.stop_gradient(extent),
         jax.lax.stop_gradient(depth),

@@ -1,0 +1,57 @@
+"""Real 2-process jax.distributed integration test (CPU backend).
+
+The sharded renderer's multi-host launch path (parallel.mesh.
+initialize_multihost -> global mesh -> all_to_all exchange) has to work
+across actual process boundaries, not just on a virtual single-process
+mesh — jax.distributed supports CPU multi-process, so this runs the full
+recipe with two spawned workers, one virtual CPU device each
+(tests/_multihost_worker.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(600)
+def test_two_process_distributed_render():
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # The workers bring up their own distributed runtime; scrub any
+    # inherited coordination state.
+    for k in list(env):
+        if k.startswith(("JAX_COORDINATOR", "TPU_")):
+            env.pop(k)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "multihost render OK" in out, out

@@ -104,6 +104,69 @@ def main():
     timed("nscale", nscale, (means, cov6, color, opac, sh), args.iters)
 
 
+def newtail():
+    """The round-3 reorder: sort + [16,F] pack + segsum + uncompact."""
+    n = 1_000_000
+    f_pad = 5_238_784
+    rng = np.random.default_rng(0)
+    from wgpu_3dgs_core_tpu.ops.expand import build_segment_table
+    from wgpu_3dgs_core_tpu.ops.segreduce import (
+        gid_column, segment_sums_sorted, uncompact_columns,
+    )
+
+    d16 = jnp.asarray(rng.normal(size=(16, f_pad)).astype(np.float32))
+    gid = rng.integers(-1, n, f_pad).astype(np.float32)
+    d16 = d16.at[9].set(jnp.asarray(gid))
+    counts = jnp.asarray(rng.integers(0, 9, n).astype(np.int32))
+    offsets = jnp.cumsum(counts) - counts
+    span = jnp.maximum(counts, 1)
+    z = jnp.zeros(n, jnp.int32)
+    tab_t = jax.jit(build_segment_table)(
+        offsets, counts, span, z, z, jnp.arange(n, dtype=jnp.int32)
+    )
+    total = jnp.int32(int(np.asarray(counts).sum()))
+
+    @jax.jit
+    def tail(d, tab_t, total):
+        gid_key = d[9].astype(jnp.int32)
+        slot = jnp.arange(f_pad, dtype=jnp.int32)
+        key = jnp.where(gid_key >= 0, gid_key, n + slot)
+        so = jax.lax.sort((key,) + tuple(d[i] for i in range(9)),
+                          num_keys=1, is_stable=False)
+        dg16 = jnp.concatenate(
+            [jnp.stack(so[1:], axis=0),
+             so[0].astype(jnp.float32)[None, :],
+             jnp.zeros((6, f_pad), jnp.float32)], axis=0)
+        n_live = jnp.sum(tab_t[2] > 0).astype(jnp.int32)
+        gid_mono = gid_column(tab_t, n_live)
+        d_comp = segment_sums_sorted(dg16, gid_mono, total)
+        d_full = uncompact_columns(d_comp, gid_mono, n)
+        return d_full[:, ::4096].sum()
+
+    @jax.jit
+    def sort_pack(d):
+        gid_key = d[9].astype(jnp.int32)
+        slot = jnp.arange(f_pad, dtype=jnp.int32)
+        key = jnp.where(gid_key >= 0, gid_key, n + slot)
+        so = jax.lax.sort((key,) + tuple(d[i] for i in range(9)),
+                          num_keys=1, is_stable=False)
+        dg16 = jnp.concatenate(
+            [jnp.stack(so[1:], axis=0),
+             so[0].astype(jnp.float32)[None, :],
+             jnp.zeros((6, f_pad), jnp.float32)], axis=0)
+        return dg16[:, ::65536].sum()
+
+    timed("sort+pack", sort_pack, (d16,))
+    timed("newtail", tail, (d16, tab_t, total))
+
+
+def _maybe_newtail():
+    if "--newtail" in sys.argv:
+        sys.argv.remove("--newtail")
+        newtail()
+        sys.exit(0)
+
+
 def variants():
     """Sub-piece probes: which part of the reorder is slow?"""
     import sys as _sys
@@ -160,6 +223,7 @@ def _maybe_variants():
 
 
 _maybe_variants()
+_maybe_newtail()
 
 
 if __name__ == "__main__":

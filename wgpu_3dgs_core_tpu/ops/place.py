@@ -31,6 +31,17 @@ searchsorted / scan.
 Overflow semantics: when total > capacity, placements past the capacity
 are dropped, leaving flagged-invalid holes (callers must honor
 ``FragmentStream.overflow`` exactly as with the sort path).
+
+STATUS: FROZEN (round 3). The hardware A/B (PERF_NOTES.md) measured the
+counting path at 828 ms vs 634 ms for the default sort at bench shapes —
+the per-block one-hot + two [K, K] Gram matmuls cost more than the sort
+saves. Its original fusion rationale (piggyback the attribute fetch on
+the one-hot) was landed separately in ops/expand.py's fused expand, which
+removed the gather this kernel was meant to amortize. Kept as a correct,
+tested reference implementation of sequential stateful Pallas counters
+(reachable via GS_TPU_SORT_IMPL=counting or ``sort_impl="counting"``);
+not a perf candidate unless the Gram-rank trick is replaced by something
+cheaper. Do not extend.
 """
 
 from __future__ import annotations

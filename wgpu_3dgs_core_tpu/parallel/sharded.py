@@ -5,14 +5,20 @@ sequence-parallel attention for the gaussian axis:
 
 - **Gaussians sharded** over the ``data`` axis: each device projects and
   colors only its shard (projection is elementwise — perfect scaling).
-- **Splat exchange**: projected screen-space splats (~14 f32/gaussian —
-  far smaller than the raw parameters + SH) are ``all_gather``-ed over ICI.
+- **Splat exchange** (default ``exchange="all_to_all"``): each device
+  routes its projected splats (~14 f32 each — far smaller than the raw
+  parameters + SH) to the devices whose tile-row strips their screen
+  bboxes overlap, via ONE ``all_to_all`` over ICI. Each device then bins
+  only the O(N/D · skew) splats that can actually land in its strip —
+  per-device binning work and ICI volume both shrink with the device
+  count (the ``all_gather`` mode replicates all N splats everywhere and
+  is kept for A/B and as an overflow-proof fallback).
 - **Tiles strip-partitioned**: each device bins + rasterizes a horizontal
-  strip of tile rows from the full splat set — the binning sort shrinks to
-  1/D per device.
-- **Gradients**: autodiff through shard_map. The all_gather transposes to
-  a reduce-scatter (psum_scatter) of splat gradients back to each shard —
-  XLA overlaps it with the backward sweep; no hand-written NCCL analog.
+  strip of tile rows; the binning sort shrinks to its strip's fragments.
+- **Gradients**: autodiff through shard_map. The all_to_all transposes to
+  the reverse all_to_all of splat gradients, and the shard-local routing
+  gathers transpose to segment sums back onto each source shard — XLA
+  overlaps them with the backward sweep; no hand-written NCCL analog.
 
 The image comes back replicated ([H, W, 3]); losses computed on it
 differentiate straight through.
@@ -27,17 +33,57 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from ..buffer import GaussianDisplayMode
 from ..ops.binning import TILE_SIZE, default_max_fragments, num_tiles
-from ..ops.projection import project
 from ..ops.rasterize import tiles_to_image
-from ..ops.sh import gaussian_color
 from ..render.camera import Camera
-from ..render.renderer import DEFAULT_CHUNK, RenderResult, rasterize_splats
+from ..render.renderer import (
+    DEFAULT_CHUNK,
+    RenderResult,
+    project_and_color,
+    rasterize_splats,
+)
 from .mesh import DATA_AXIS
+
+# Packed projected-splat row layout exchanged between devices.
+_PK_XY = slice(0, 2)
+_PK_CONIC = slice(2, 5)
+_PK_RGB = slice(5, 8)
+_PK_OPAC = 8
+_PK_DEPTH = 9
+_PK_EXTENT = slice(10, 12)
+_PK_MASK = 12
+_PK_COLS = 13
 
 
 def _strip_rows(tiles_y: int, n_dev: int) -> int:
     return -(-tiles_y // n_dev)
+
+
+def _route_to_strips(packed, s0, s1, n_dev: int, cap: int):
+    """Build the [D, cap, C] all_to_all send buffer from local splats.
+
+    ``s0``/``s1``: inclusive strip range each local splat overlaps (s1 < s0
+    for dead splats). For each destination strip d the overlapping splats
+    are compacted (order-preserving, so global gaussian order — and with
+    it the renderer's stable depth tie-break — survives the exchange).
+    Returns (send, overflowed) where ``overflowed`` flags any destination
+    whose overlap count exceeded ``cap`` (excess splats dropped).
+    """
+    n_local = packed.shape[0]
+    j = jnp.arange(cap, dtype=jnp.int32)
+
+    def one_dst(d):
+        sel = (s0 <= d) & (d <= s1)
+        csum = jnp.cumsum(sel.astype(jnp.int32))
+        count = csum[-1]
+        idx = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
+        rows = packed[jnp.clip(idx, 0, n_local - 1)]
+        rows = jnp.where((j < count)[:, None], rows, 0.0)
+        return rows, count > cap
+
+    send, over = jax.vmap(one_dst)(jnp.arange(n_dev, dtype=jnp.int32))
+    return send, jnp.any(over)
 
 
 def render_sharded(
@@ -51,43 +97,71 @@ def render_sharded(
     sh_deg: int = 0,
     no_sh0: bool = False,
     background: tuple = (0.0, 0.0, 0.0),
+    model_transform: Optional[tuple] = None,
     max_fragments: Optional[int] = None,
+    per_device_fragments: Optional[int] = None,
     chunk: int = DEFAULT_CHUNK,
+    size: float = 1.0,
+    max_std_dev: float = 3.0,
+    display_mode: GaussianDisplayMode = GaussianDisplayMode.SPLAT,
     antialiased: bool = False,
     strip_skew: float = 2.0,
+    exchange: str = "all_to_all",
+    splat_skew: float = 2.0,
 ) -> RenderResult:
-    """Differentiable multi-device render.
+    """Differentiable multi-device render (feature parity with ``render``).
 
     Inputs are sharded on their leading (gaussian) axis over ``mesh``'s
     ``data`` axis; N must divide evenly by the axis size (use
     ``parallel.mesh.pad_to_multiple`` with zero-opacity padding gaussians).
     Returns a replicated RenderResult.
 
-    ``max_fragments`` is the GLOBAL fragment budget; each device gets a
-    strip-local capacity of ``max_fragments / n_dev * strip_skew`` (the
-    skew factor absorbs uneven fragment concentration across strips).
-    Capacity-proportional work — the attribute gather, the strip sort, the
-    kernel grids — therefore shrinks with the device count instead of
-    replicating (SURVEY.md §7 M6 scaling economics).
+    Capacities (both checked, overflow surfaced in the result):
+
+    - ``max_fragments`` is the GLOBAL fragment budget; each device gets a
+      strip-local capacity of ``max_fragments / n_dev * strip_skew`` (the
+      skew factor absorbs uneven fragment concentration across strips).
+      Callers tuning per-device memory directly should pass
+      ``per_device_fragments`` instead, which bypasses the division.
+    - with ``exchange="all_to_all"``, each (source, strip) routing bucket
+      holds ``N/D^2 * splat_skew`` splats (a device receives
+      ``N/D * splat_skew`` total). ``exchange="all_gather"`` replicates
+      all N splats on every device instead — no routing capacity to
+      overflow, at O(N) per-device cost.
+
+    ``size``/``max_std_dev``/``display_mode``/``no_sh0``/
+    ``model_transform`` match :func:`wgpu_3dgs_core_tpu.render` exactly
+    (reference: src/buffer/gaussian_transform.rs knobs).
     """
+    if exchange not in ("all_to_all", "all_gather"):
+        raise ValueError(f"unknown exchange mode: {exchange!r}")
     n_dev = mesh.shape[DATA_AXIS]
     h, w_px = camera.height, camera.width
     tiles_x, tiles_y = num_tiles(w_px, h)
     rows_per_dev = _strip_rows(tiles_y, n_dev)
     n = means.shape[0]
+    n_local = n // n_dev
 
-    if max_fragments is None:
-        max_fragments = default_max_fragments(n, tiles_x, tiles_y)
-    if n_dev > 1:
-        max_fragments = int(max_fragments * strip_skew / n_dev)
-    f_cap = -(-max_fragments // chunk) * chunk
+    if per_device_fragments is not None:
+        f_cap = per_device_fragments
+    else:
+        if max_fragments is None:
+            max_fragments = default_max_fragments(n, tiles_x, tiles_y)
+        f_cap = max_fragments
+        if n_dev > 1:
+            f_cap = int(f_cap * strip_skew / n_dev)
+    f_cap = -(-f_cap // chunk) * chunk
+
+    # Per-(source, strip) routing capacity: N/D^2 * skew, lane-rounded.
+    route_cap = max(int(n_local / max(n_dev, 1) * splat_skew), 128)
+    route_cap = -(-route_cap // 128) * 128
+    route_cap = min(route_cap, max(n_local, 1))
 
     bg = tuple(background)
     use_sh = sh is not None
-
-    view = camera.view_matrix()
-    cam_pos = -jnp.einsum("ji,j->i", view[:3, :3], view[:3, 3],
-                          precision=jax.lax.Precision.HIGHEST)
+    strip_px = rows_per_dev * TILE_SIZE
+    cutoff_sq = float(max_std_dev) ** 2
+    mode = int(display_mode)
 
     in_specs = (
         P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
@@ -102,18 +176,16 @@ def render_sharded(
         check_vma=False,
     )
     def step(means_l, cov_l, color_l, opac_l, sh_l):
-        # Local projection + color of this device's gaussian shard.
-        splats = project(means_l, cov_l, camera, antialiased=antialiased,
-                         opacity=opac_l)
-        opac_l = opac_l * splats.compensation
-        dirs = means_l - cam_pos
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-        rgb_l = gaussian_color(
-            color_l, sh_l if use_sh else None, dirs, sh_deg, no_sh0
+        # Local projection + color of this device's gaussian shard, with
+        # the full GaussianTransform knob set (shared with `render`).
+        splats, rgb_l, opac_l = project_and_color(
+            means_l, cov_l, color_l, opac_l, camera,
+            sh=sh_l if use_sh else None, sh_deg=sh_deg, no_sh0=no_sh0,
+            model_transform=model_transform, size=size,
+            max_std_dev=max_std_dev, display_mode=display_mode,
+            antialiased=antialiased,
         )
 
-        # Exchange compact projected splats over ICI: [N_local, 14] each ->
-        # [N, 14] everywhere. Transposes to a reduce-scatter in backward.
         packed = jnp.concatenate(
             [
                 splats.xy,
@@ -125,32 +197,63 @@ def render_sharded(
                 splats.mask.astype(jnp.float32)[:, None],
             ],
             axis=-1,
-        )
-        packed = jax.lax.all_gather(packed, DATA_AXIS, axis=0, tiled=True)
+        )  # [N_local, 13]
 
-        xy = packed[:, 0:2]
-        conic = packed[:, 2:5]
-        rgb = packed[:, 5:8]
-        opac = packed[:, 8]
-        depth = packed[:, 9]
-        extent = packed[:, 10:12]
-        mask = packed[:, 12] > 0.5
+        route_overflow = jnp.zeros((), bool)
+        if exchange == "all_gather":
+            # O(N)-per-device fallback: every device sees every splat.
+            packed = jax.lax.all_gather(packed, DATA_AXIS, axis=0,
+                                        tiled=True)
+        else:
+            # Route splats to the strips their bbox overlaps (the same
+            # tile-row arithmetic as ops/binning.tile_bounds, divided by
+            # the strip height), then ONE all_to_all over ICI.
+            xy_y = packed[:, 1]
+            ey = packed[:, 11]
+            live = (packed[:, _PK_MASK] > 0.5) & (ey > 0.0)
+            y0t = jnp.floor((xy_y - ey) / TILE_SIZE)
+            y1t = jnp.floor((xy_y + ey) / TILE_SIZE)  # inclusive tile row
+            s0 = jnp.clip(
+                jnp.floor(y0t / rows_per_dev), 0, n_dev - 1
+            ).astype(jnp.int32)
+            s1 = jnp.clip(
+                jnp.floor(y1t / rows_per_dev), 0, n_dev - 1
+            ).astype(jnp.int32)
+            s1 = jnp.where(live, s1, s0 - 1)  # empty range for dead splats
+            send, route_overflow = _route_to_strips(
+                packed, s0, s1, n_dev, route_cap
+            )
+            recv = jax.lax.all_to_all(
+                send, DATA_AXIS, split_axis=0, concat_axis=0, tiled=True
+            )  # [n_dev, cap, 13], source-major
+            packed = recv.reshape(n_dev * route_cap, _PK_COLS)
+
+        xy = packed[:, _PK_XY]
+        conic = packed[:, _PK_CONIC]
+        rgb = packed[:, _PK_RGB]
+        opac = packed[:, _PK_OPAC]
+        depth = packed[:, _PK_DEPTH]
+        extent = packed[:, _PK_EXTENT]
+        mask = packed[:, _PK_MASK] > 0.5
 
         # Rasterize this device's strip of tile rows: shift splats into
         # strip-local pixel space (the kernel derives pixel coordinates
         # from local tile ids; a 2D gaussian is translation-invariant).
         d = jax.lax.axis_index(DATA_AXIS)
-        y_shift = (d * rows_per_dev * TILE_SIZE).astype(jnp.float32)
+        y_shift = (d * strip_px).astype(jnp.float32)
         xy_local = xy - jnp.stack(
             [jnp.zeros_like(y_shift), y_shift]
         )[None, :]
         tiles, overflow = rasterize_splats(
             xy_local, depth, conic, extent, mask, rgb, opac,
             tiles_x, rows_per_dev, f_cap, chunk, bg,
+            cutoff_sq=cutoff_sq, mode=mode,
         )
 
         strips = jax.lax.all_gather(tiles, DATA_AXIS, axis=0, tiled=True)
-        any_overflow = jax.lax.psum(overflow.astype(jnp.int32), DATA_AXIS) > 0
+        any_overflow = jax.lax.psum(
+            (overflow | route_overflow).astype(jnp.int32), DATA_AXIS
+        ) > 0
         return strips, any_overflow
 
     strips, overflow = step(

@@ -58,6 +58,52 @@ class RenderResult(NamedTuple):
     overflow: jnp.ndarray  # scalar bool: fragment capacity exceeded
 
 
+def project_and_color(
+    means, cov3d_sigma6, base_color, opacity, camera,
+    sh=None, sh_deg: int = 0, no_sh0: bool = False,
+    model_transform=None, size: float = 1.0, max_std_dev: float = 3.0,
+    display_mode: GaussianDisplayMode = GaussianDisplayMode.SPLAT,
+    antialiased: bool = False,
+):
+    """Shared render prologue: EWA projection + view-dependent color.
+
+    Honors every GaussianTransform knob (reference:
+    src/buffer/gaussian_transform.rs:7-98) identically for the
+    single-device and sharded renderers. Returns
+    (splats, rgb [N, 3], opacity' [N]).
+    """
+    splats = project(
+        means, cov3d_sigma6, camera, model_transform,
+        size=size, radius_cutoff=max_std_dev, antialiased=antialiased,
+        opacity=(
+            opacity if display_mode == GaussianDisplayMode.SPLAT else None
+        ),
+    )
+    opacity = opacity * splats.compensation
+    if display_mode == GaussianDisplayMode.POINT:
+        # Fixed-size isotropic dot of ~``size`` pixels std dev.
+        pt = max(float(size), 0.5)
+        conic_pt = jnp.array([1.0 / (pt * pt), 0.0, 1.0 / (pt * pt)],
+                             jnp.float32)
+        splats = splats._replace(
+            conic=jnp.broadcast_to(conic_pt, splats.conic.shape),
+            # zeros_like keeps the [N, 2] extent shape (a bare 0.0 would
+            # broadcast the whole expression down to [N, 1]).
+            extent=jnp.where(
+                splats.mask[:, None], jnp.ceil(max_std_dev * pt),
+                jnp.zeros_like(splats.extent),
+            ),
+        )
+
+    view = camera.view_matrix()
+    cam_pos = -jnp.einsum("ji,j->i", view[:3, :3], view[:3, 3],
+                          precision=jax.lax.Precision.HIGHEST)
+    dirs = means - cam_pos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)
+    return splats, rgb, opacity
+
+
 def render(
     means: jnp.ndarray,
     cov3d_sigma6: jnp.ndarray,
@@ -93,32 +139,13 @@ def render(
     # Stream capacity must be whole chunks.
     f_cap = -(-max_fragments // chunk) * chunk
 
-    splats = project(
-        means, cov3d_sigma6, camera, model_transform,
-        size=size, radius_cutoff=max_std_dev, antialiased=antialiased,
-        opacity=(
-            opacity if display_mode == GaussianDisplayMode.SPLAT else None
-        ),
+    splats, rgb, opacity = project_and_color(
+        means, cov3d_sigma6, base_color, opacity, camera,
+        sh=sh, sh_deg=sh_deg, no_sh0=no_sh0,
+        model_transform=model_transform, size=size,
+        max_std_dev=max_std_dev, display_mode=display_mode,
+        antialiased=antialiased,
     )
-    opacity = opacity * splats.compensation
-    if display_mode == GaussianDisplayMode.POINT:
-        # Fixed-size isotropic dot of ~``size`` pixels std dev.
-        pt = max(float(size), 0.5)
-        conic_pt = jnp.array([1.0 / (pt * pt), 0.0, 1.0 / (pt * pt)],
-                             jnp.float32)
-        splats = splats._replace(
-            conic=jnp.broadcast_to(conic_pt, splats.conic.shape),
-            extent=jnp.where(
-                splats.mask[:, None], jnp.ceil(max_std_dev * pt), 0.0
-            ),
-        )
-
-    view = camera.view_matrix()
-    cam_pos = -jnp.einsum("ji,j->i", view[:3, :3], view[:3, 3],
-                          precision=jax.lax.Precision.HIGHEST)
-    dirs = means - cam_pos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-    rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)
 
     tiles, overflow = rasterize_splats(
         splats.xy, splats.depth, splats.conic, splats.extent, splats.mask,

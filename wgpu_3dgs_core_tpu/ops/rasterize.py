@@ -162,6 +162,37 @@ def _tri(chunk, strict):
 CUMSUM_BLOCK = 128
 
 
+def _cumsum_impl():
+    import os
+
+    return os.environ.get("GS_TPU_CUMSUM_IMPL", "split")
+
+
+def _tri_dot(x, tri_b):
+    """x @ tri in ~f32 accuracy at 1/3 the MXU passes of HIGHEST.
+
+    The cumsum matmuls are ~95% of the blend kernels' MXU MACs, and f32
+    HIGHEST runs as a 6-pass bf16 expansion of BOTH operands. But the
+    triangular operand is exactly representable in bf16 (0/1 entries), so
+    only ``x`` needs extending: split x = hi + lo into two bf16 terms
+    (representation error <= |x| * 2^-18) and contract each at native
+    bf16 rate with f32 accumulators — 2 passes, error ~2^-18 * sum|x|
+    per output lane (well inside the 1e-4 gradient / 2e-5 image bars;
+    the transmittance exponent |ecs| is <= ln(1/T_MIN) ~ 9.2 wherever T
+    is still live, so T's relative error stays <= ~3.5e-5 worst-case).
+    """
+    if _cumsum_impl() == "highest":
+        return jnp.dot(x, tri_b, preferred_element_type=jnp.float32,
+                       precision=_HIGH)
+    tri16 = tri_b.astype(jnp.bfloat16)  # exact: 0/1 entries
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(hi, tri16, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, tri16, preferred_element_type=jnp.float32)
+    )
+
+
 def _cumsum_lanes(x, chunk, strict):
     """Per-row cumsum of [PIX, K] along lanes via blocked MXU matmuls."""
     if chunk > CUMSUM_BLOCK and chunk % CUMSUM_BLOCK:
@@ -171,14 +202,12 @@ def _cumsum_lanes(x, chunk, strict):
     b = min(chunk, CUMSUM_BLOCK)
     tri_b = _tri(b, strict)
     if chunk == b:
-        return jnp.dot(x, tri_b, preferred_element_type=jnp.float32,
-                       precision=_HIGH)
+        return _tri_dot(x, tri_b)
     parts = []
     carry = None
     for s in range(chunk // b):
         xs = x[:, s * b:(s + 1) * b]
-        local = jnp.dot(xs, tri_b, preferred_element_type=jnp.float32,
-                        precision=_HIGH)
+        local = _tri_dot(xs, tri_b)
         parts.append(local if carry is None else local + carry)
         tot = jnp.sum(xs, axis=1, keepdims=True)
         carry = tot if carry is None else carry + tot

@@ -243,3 +243,28 @@ def test_missing_layout_config():
         builder.build_without_resources()
     # Supplying the config builds fine.
     builder.layout_config({"dtype": "f32"}).build_without_resources()
+
+
+def test_dispatch_is_cached_no_retrace():
+    """Build-once / dispatch-many: a second dispatch of the same shape
+    reuses the jitted launcher without retracing (reference analog:
+    compute_bundle.rs:311-330 builds the pipeline once)."""
+    n = 256
+    a = jnp.arange(n, dtype=jnp.float32)
+    b = jnp.ones(n, dtype=jnp.float32)
+    bundle = _builder().build([[a, b]])
+
+    r1 = bundle.dispatch(n)
+    assert len(bundle._dispatch_cache) == 1
+    (run,) = bundle._dispatch_cache.values()
+    traces_after_first = run._cache_size()
+
+    r2 = bundle.dispatch(n)
+    assert len(bundle._dispatch_cache) == 1
+    assert run._cache_size() == traces_after_first  # no retrace
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    # A different shape gets its own cached launcher.
+    m = 128
+    bundle.dispatch(m, [[a[:m], b[:m]]])
+    assert len(bundle._dispatch_cache) == 2

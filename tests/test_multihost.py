@@ -21,7 +21,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
+# No @pytest.mark.timeout here: pytest-timeout is not installed in this
+# image, so the mark would be a silent no-op. The real guard is the
+# subprocess communicate(timeout=540) below (kills the workers on hang).
 def test_two_process_distributed_render():
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"

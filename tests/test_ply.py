@@ -129,6 +129,70 @@ def test_ply_non_float_properties_ignored_with_extra_columns():
     assert (ply2.block[:, 1] == 0).all()  # y untouched
 
 
+def test_ply_binary_list_property_skipped():
+    """A list property is consumed and ignored, not an error — the
+    reference's generic path parses lists via ply-rs and never applies
+    them (reference: ply.rs:374-378, ply.rs:25-100)."""
+    ply = gaussians_soa().to_ply()
+    n = len(ply)
+    buf = io.BytesIO()
+    buf.write(b"ply\nformat binary_little_endian 1.0\n")
+    buf.write(f"element vertex {n}\n".encode())
+    buf.write(b"property float x\n")
+    buf.write(b"property list uchar int vertex_indices\n")
+    buf.write(b"property float y\n")
+    buf.write(b"end_header\n")
+    for r, row in enumerate(ply.block):
+        buf.write(np.float32(row[0]).tobytes())
+        n_items = r % 3  # variable-length lists
+        buf.write(np.uint8(n_items).tobytes())
+        buf.write(np.arange(n_items, dtype="<i4").tobytes())
+        buf.write(np.float32(row[1]).tobytes())
+    buf.seek(0)
+
+    ply2 = PlyGaussians.read_from(buf)
+    np.testing.assert_array_equal(ply2.block[:, 0], ply.block[:, 0])
+    np.testing.assert_array_equal(ply2.block[:, 1], ply.block[:, 1])
+    assert (ply2.block[:, 2:] == 0).all()
+
+
+def test_ply_binary_list_property_truncated_errors():
+    buf = io.BytesIO()
+    buf.write(b"ply\nformat binary_little_endian 1.0\n")
+    buf.write(b"element vertex 2\n")
+    buf.write(b"property float x\n")
+    buf.write(b"property list uchar int vertex_indices\n")
+    buf.write(b"end_header\n")
+    buf.write(np.float32(1.0).tobytes())
+    buf.write(np.uint8(4).tobytes())  # promises 4 ints, delivers none
+    buf.seek(0)
+    with pytest.raises(IOError):
+        PlyGaussians.read_from(buf)
+
+
+def test_ply_ascii_list_property_skipped():
+    ply = gaussians_soa().to_ply()
+    n = len(ply)
+    buf = io.BytesIO()
+    buf.write(b"ply\nformat ascii 1.0\n")
+    buf.write(f"element vertex {n}\n".encode())
+    buf.write(b"property float x\n")
+    buf.write(b"property list uchar float weights\n")
+    buf.write(b"property float y\n")
+    buf.write(b"end_header\n")
+    for r, row in enumerate(ply.block):
+        n_items = r % 2 + 1
+        items = " ".join(["9.5"] * n_items)
+        buf.write(
+            f"{float(row[0])!r} {n_items} {items} {float(row[1])!r}\n".encode()
+        )
+    buf.seek(0)
+
+    ply2 = PlyGaussians.read_from(buf)
+    np.testing.assert_allclose(ply2.block[:, 0], ply.block[:, 0], atol=1e-6)
+    np.testing.assert_allclose(ply2.block[:, 1], ply.block[:, 1], atol=1e-6)
+
+
 def test_ply_missing_vertex_element_errors():
     buf = io.BytesIO(b"ply\nformat ascii 1.0\nelement face 0\nend_header\n")
     with pytest.raises(IOError, match="vertex element not found"):

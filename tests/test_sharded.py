@@ -145,13 +145,15 @@ def test_sharded_transform_knobs_match_single_device():
         jnp.asarray([0.0, 0.1, 0.0, 0.995], jnp.float32),
         jnp.asarray([1.1, 0.9, 1.0], jnp.float32),
     )
+    # Each trace of the interpret-mode sharded pipeline costs ~30 s on the
+    # CPU mesh, so orthogonal knobs are combined into one case (parity on
+    # the combination exercises each knob AND their interactions); only
+    # the display modes need their own traces (different kernel math).
     cases = [
-        dict(size=1.7, max_std_dev=2.0),
+        dict(size=1.7, max_std_dev=2.0, no_sh0=True, model_transform=mt,
+             antialiased=True),
         dict(display_mode=GaussianDisplayMode.ELLIPSE),
         dict(display_mode=GaussianDisplayMode.POINT, size=2.0),
-        dict(no_sh0=True),
-        dict(model_transform=mt),
-        dict(antialiased=True),
     ]
     for kw in cases:
         res = render_sharded(*args[:4], CAM, mesh, sh=args[4], sh_deg=2,

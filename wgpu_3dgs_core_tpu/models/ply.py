@@ -193,13 +193,16 @@ def _read_inria_block(reader: BinaryIO, count: int) -> np.ndarray:
 
 def _read_custom_binary(reader: BinaryIO, vertex: PlyElement, count: int,
                         byteorder: str) -> np.ndarray:
+    if any(p.is_list for p in vertex.properties):
+        # List properties are consumed and never applied, matching the
+        # reference's generic path, whose ply-rs element parse reads them
+        # but set_value only accepts the 62 scalar floats (reference:
+        # ply.rs:374-378, ply.rs:25-100). Variable-length records force a
+        # per-record walk.
+        return _read_custom_binary_with_lists(reader, vertex, count, byteorder)
     fields = []
     applied: list[tuple[str, str]] = []  # (struct field name, canonical name)
     for i, prop in enumerate(vertex.properties):
-        if prop.is_list:
-            raise IOError(
-                f"list property {prop.name!r} is not supported for Gaussian vertices"
-            )
         base = _PLY_SCALAR_DTYPES.get(prop.type_name)
         if base is None:
             raise IOError(f"unknown PLY scalar type: {prop.type_name!r}")
@@ -230,15 +233,77 @@ def _read_custom_binary(reader: BinaryIO, vertex: PlyElement, count: int,
     return block
 
 
-def _read_custom_ascii(reader: BinaryIO, vertex: PlyElement, count: int) -> np.ndarray:
-    n_props = len(vertex.properties)
-    block = np.zeros((count, NUM_PLY_PROPERTIES), dtype=np.float32)
-    cols = np.array(
-        [_COL.get(p.name, -1) for p in vertex.properties], dtype=np.int64
-    )
-    for name in (p.name for p in vertex.properties if p.name not in _COL):
-        log.warning("Unknown property: %s", name)
+def _read_custom_binary_with_lists(reader: BinaryIO, vertex: PlyElement,
+                                   count: int, byteorder: str) -> np.ndarray:
+    """Generic binary path for records containing list properties.
 
+    The lists themselves are parsed and discarded; scalar float properties
+    with canonical names are applied as usual (reference: ply.rs:374-378 —
+    ply-rs consumes list properties, set_value never applies them).
+    """
+    plan = []  # ("scalar", np.dtype, col) | ("list", count_dtype, item_size)
+    for prop in vertex.properties:
+        if prop.is_list:
+            parts = prop.type_name.split()  # "list <count_t> <item_t>"
+            if len(parts) != 3:
+                raise IOError(f"malformed PLY list type: {prop.type_name!r}")
+            cnt_base = _PLY_SCALAR_DTYPES.get(parts[1])
+            item_base = _PLY_SCALAR_DTYPES.get(parts[2])
+            if cnt_base is None or item_base is None:
+                raise IOError(f"unknown PLY scalar type in: {prop.type_name!r}")
+            log.warning("Ignoring list property: %s", prop.name)
+            plan.append(("list", np.dtype(byteorder + cnt_base),
+                         np.dtype(item_base).itemsize))
+        else:
+            base = _PLY_SCALAR_DTYPES.get(prop.type_name)
+            if base is None:
+                raise IOError(f"unknown PLY scalar type: {prop.type_name!r}")
+            col = -1
+            if prop.name in _COL:
+                if base == "f4":
+                    col = _COL[prop.name]
+                else:
+                    log.error("Property %s is not a float", prop.name)
+            else:
+                log.warning("Unknown property: %s", prop.name)
+            plan.append(("scalar", np.dtype(byteorder + base), col))
+
+    buf = reader.read()
+    block = np.zeros((count, NUM_PLY_PROPERTIES), dtype=np.float32)
+    off = 0
+    try:
+        for r in range(count):
+            for entry in plan:
+                if entry[0] == "scalar":
+                    _, dt, col = entry
+                    if col >= 0:
+                        block[r, col] = np.frombuffer(buf, dt, 1, off)[0]
+                    off += dt.itemsize
+                else:
+                    _, cnt_dt, item_size = entry
+                    n_items = int(np.frombuffer(buf, cnt_dt, 1, off)[0])
+                    off += cnt_dt.itemsize + n_items * item_size
+    except ValueError as e:  # frombuffer past the end of the body
+        raise IOError("unexpected EOF reading PLY body") from e
+    if off > len(buf):
+        raise IOError("unexpected EOF reading PLY body")
+    return block
+
+
+def _read_custom_ascii(reader: BinaryIO, vertex: PlyElement, count: int) -> np.ndarray:
+    block = np.zeros((count, NUM_PLY_PROPERTIES), dtype=np.float32)
+    scalar_props = [p for p in vertex.properties if not p.is_list]
+    n_props = len(scalar_props)
+    cols = np.array(
+        [_COL.get(p.name, -1) for p in scalar_props], dtype=np.int64
+    )
+    for p in vertex.properties:
+        if p.is_list:
+            log.warning("Ignoring list property: %s", p.name)
+        elif p.name not in _COL:
+            log.warning("Unknown property: %s", p.name)
+
+    has_lists = any(p.is_list for p in vertex.properties)
     rows = np.empty((count, n_props), dtype=np.float32)
     for r in range(count):
         line = reader.readline()
@@ -247,11 +312,26 @@ def _read_custom_ascii(reader: BinaryIO, vertex: PlyElement, count: int) -> np.n
         # The reference splits on single spaces and f32-parses every token
         # (ply.rs:347-370); extra tokens are ignored, short/invalid rows error.
         tokens = line.decode("ascii", errors="replace").split()
-        if len(tokens) < n_props:
-            raise IOError("Gaussian element property invalid or missing in PLY")
         try:
-            rows[r] = [np.float32(t) for t in tokens[:n_props]]
-        except ValueError as e:
+            if has_lists:
+                # Consume tokens property by property; list values are
+                # parsed (count + items) and discarded.
+                vals, ti = [], 0
+                for p in vertex.properties:
+                    if p.is_list:
+                        n_items = int(float(tokens[ti]))
+                        ti += 1 + n_items
+                    else:
+                        vals.append(np.float32(tokens[ti]))
+                        ti += 1
+                if ti > len(tokens):
+                    raise IndexError
+                rows[r] = vals
+            else:
+                if len(tokens) < n_props:
+                    raise IndexError
+                rows[r] = [np.float32(t) for t in tokens[:n_props]]
+        except (ValueError, IndexError) as e:
             raise IOError("Gaussian element property invalid or missing in PLY") from e
 
     keep = cols >= 0

@@ -89,6 +89,11 @@ class KernelBundle:
         self._outputs = outputs
         self.block_size = block_size
         self._resources = resources
+        # Build-once / dispatch-many (reference: compute_bundle.rs:311-330
+        # creates the pipeline once; dispatch only records a pass): the
+        # padded pallas_call launcher is jitted once per (count, input
+        # shapes/dtypes) signature and reused for every later dispatch.
+        self._dispatch_cache: dict[Any, Any] = {}
 
     # ------------------------------------------------------------ resources
 
@@ -116,14 +121,8 @@ class KernelBundle:
         else:
             resources = _validate_resources(self._layouts, resources)
 
-        flat = [arr for group in resources for arr in group]
-        block = self.block_size
-        grid = pl.cdiv(count, block)
-        padded = grid * block
-
-        ins = []
-        in_specs = []
-        for arr in flat:
+        flat = []
+        for arr in (a for group in resources for a in group):
             a = jnp.asarray(arr)
             if a.ndim == 1:
                 a = a[:, None]
@@ -132,13 +131,29 @@ class KernelBundle:
                     f"{self.label}: resource has {a.shape[0]} items, "
                     f"dispatch count is {count}"
                 )
-            if padded != count:
-                a = jnp.pad(a, ((0, padded - count), (0, 0)))
-            ins.append(a)
-            in_specs.append(
-                pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0))
-            )
+            flat.append(a)
 
+        key = (count, tuple((a.shape, a.dtype.name) for a in flat))
+        run = self._dispatch_cache.get(key)
+        if run is None:
+            run = self._build_dispatch(count, flat)
+            self._dispatch_cache[key] = run
+
+        outs = run(*flat)
+        if len(self._outputs) == 1:
+            outs = (outs,)
+        result = tuple(o[:count] for o in outs)
+        return result if len(result) > 1 else result[0]
+
+    def _build_dispatch(self, count: int, flat):
+        """Jitted pad + pallas_call launcher for one dispatch signature."""
+        block = self.block_size
+        grid = pl.cdiv(count, block)
+        padded = grid * block
+        widths = [a.shape[1] for a in flat]
+        in_specs = [
+            pl.BlockSpec((block, w), lambda i: (i, 0)) for w in widths
+        ]
         out_shapes = [
             jax.ShapeDtypeStruct((padded, o.width), o.dtype)
             for o in self._outputs
@@ -148,19 +163,22 @@ class KernelBundle:
             for o in self._outputs
         ]
 
-        outs = pl.pallas_call(
-            self._kernel,
-            grid=(grid,),
-            in_specs=in_specs,
-            out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
-            out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
-            interpret=interpret_mode(),
-        )(*ins)
+        @jax.jit
+        def run(*ins):
+            if padded != count:
+                ins = tuple(
+                    jnp.pad(a, ((0, padded - count), (0, 0))) for a in ins
+                )
+            return pl.pallas_call(
+                self._kernel,
+                grid=(grid,),
+                in_specs=in_specs,
+                out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+                out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+                interpret=interpret_mode(),
+            )(*ins)
 
-        if len(self._outputs) == 1:
-            outs = (outs,)
-        result = tuple(o[:count] for o in outs)
-        return result if len(result) > 1 else result[0]
+        return run
 
 
 def _validate_resources(layouts, resources):

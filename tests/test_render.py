@@ -337,3 +337,38 @@ def test_forward_opaque_chain_precision():
     ref = render_reference(means, cov6, color, opac, CAM, background=BG)
     np.testing.assert_allclose(np.asarray(res.image), np.asarray(ref),
                                atol=1e-4, rtol=0)
+
+
+def test_reference_pixel_window_matches_full():
+    """pixel_window crop == the same crop of the full reference render,
+    including with a traced origin (the chunked bench-shape parity tool
+    jits one signature over row offsets — tools/grad_parity_tpu.py)."""
+    means, quats, scales, color, opac, sh = _random_scene(40, seed=5)
+    cov6 = cov3d_from_rot_scale(quats, scales)
+    full = np.asarray(
+        render_reference(means, cov6, color, opac, CAM, sh=sh, sh_deg=2,
+                         background=BG)
+    )
+
+    crop = render_reference(
+        means, cov6, color, opac, CAM, sh=sh, sh_deg=2, background=BG,
+        pixel_window=(16, 8, 32, 24),
+    )
+    # Different array shapes let XLA reassociate the N-reductions
+    # differently: bit-equality is not expected, 1e-6 is.
+    np.testing.assert_allclose(
+        np.asarray(crop), full[8:32, 16:48], atol=1e-6, rtol=0
+    )
+
+    @jax.jit
+    def crop_at(y0):
+        return render_reference(
+            means, cov6, color, opac, CAM, sh=sh, sh_deg=2, background=BG,
+            pixel_window=(16, y0, 32, 8),
+        )
+
+    for y0 in (0, 8, 40):
+        np.testing.assert_allclose(
+            np.asarray(crop_at(jnp.int32(y0))), full[y0:y0 + 8, 16:48],
+            atol=1e-6, rtol=0,
+        )

@@ -134,7 +134,7 @@ def main():
     @jax.jit
     def sched_only(means, cov6, color, opac, sh):
         _, res = build_res(means, cov6, color, opac, sh)
-        return res[1][::4096].sum() + res[6].sum()  # off, live_blocks
+        return res[1][::4096].sum() + res[4].sum()  # off, live_blocks
 
     @jax.jit
     def gather_only(means, cov6, color, opac, sh):
@@ -145,28 +145,28 @@ def main():
 
     # ---- kernel-only probes (inputs precomputed outside the timer) ------
     _, res0 = jax.jit(build_res)(*scene)
-    (mat, off, fl, blk_tile, pad_off, tile_len, live, tab_t, num_frag,
-     tiles_out) = [jax.device_put(np.asarray(x)) for x in res0[:10]]
+    (mat, off, fl, blk_flags, live, tab_t, num_frag,
+     tiles_out) = [jax.device_put(np.asarray(x)) for x in res0[:8]]
     print(f"live blocks: {int(np.asarray(live)[0])} / {f_pad_cap // chunk}",
           flush=True)
 
     @jax.jit
     def kernel_fwd(mat):
         tiles = rasterize_tiles_fwd(
-            mat, off, fl, blk_tile, pad_off, tile_len, live,
-            chunk, tiles_x, t_total, (0.0, 0.0, 0.0), 9.0, 0, GRP,
+            mat, off, fl, blk_flags, live,
+            chunk, t_total, (0.0, 0.0, 0.0), 9.0, 0, GRP,
         )
         return jnp.sum(tiles[::64])
 
     @jax.jit
     def kernel_fwd_bwd(mat):
         tiles = rasterize_tiles_fwd(
-            mat, off, fl, blk_tile, pad_off, tile_len, live,
-            chunk, tiles_x, t_total, (0.0, 0.0, 0.0), 9.0, 0, GRP,
+            mat, off, fl, blk_flags, live,
+            chunk, t_total, (0.0, 0.0, 0.0), 9.0, 0, GRP,
         )
         dfrag = rasterize_tiles_bwd(
-            mat, off, fl, blk_tile, pad_off, tile_len, live,
-            tiles, tiles * 1e-3, chunk, tiles_x, t_total,
+            mat, off, fl, blk_flags, live,
+            tiles, tiles * 1e-3, chunk, t_total,
             (0.0, 0.0, 0.0), 9.0, 0, GRP,
         )
         # Reduce on device: syncing a 344 MB output through the relay

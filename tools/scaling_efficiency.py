@@ -25,10 +25,16 @@ if "--tpu" not in sys.argv:
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -47,7 +53,9 @@ from wgpu_3dgs_core_tpu.render.renderer import render  # noqa: E402
 
 def time_step(fn, args, iters=3):
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    # Sync via a device-to-host materialization: block_until_ready can
+    # return before execution finishes on axon (CLAUDE.md).
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)

@@ -62,6 +62,9 @@ class PaddedSchedule(NamedTuple):
     src: jnp.ndarray  # [F_pad] int32, sorted-stream index per padded slot
     valid: jnp.ndarray  # [F_pad] bool, slot holds a live fragment
     tile_written: jnp.ndarray  # [T] bool, tile's output block gets flushed
+    blk_flags: jnp.ndarray  # [B_cap + 1] int32 packed per-block word for
+    #   the branch-free rasterizer: tile<<2 | first<<1 | last; 0 for dead
+    #   blocks (the +1 pad lets the backward kernel look one block ahead)
 
 
 def num_tiles(width: int, height: int) -> tuple[int, int]:
@@ -416,6 +419,26 @@ def pad_schedule(stream: FragmentStream, chunk: int,
     ).reshape(-1)
 
     tile_written = (ln > 0) & (off_blk < live_blocks)
+
+    # Packed per-block word for the branch-free rasterizer kernels:
+    # first = block starts its tile's segment, last = block ends it (or is
+    # the final live block of a truncated stream — the kernel flushes the
+    # partial tile there). Dead blocks get 0 (no flush, no reset; their
+    # lanes fail the kernels' tile-equality mask).
+    first_b = base_rank == 0
+    last_b = (base_rank + chunk >= len_b) | (blk == live_blocks - 1)
+    livem = blk < live_blocks
+    blk_flags = jnp.where(
+        livem,
+        (blk_tile << 2)
+        | (first_b.astype(jnp.int32) << 1)
+        | last_b.astype(jnp.int32),
+        0,
+    ).astype(jnp.int32)
+    blk_flags = jnp.concatenate(
+        [blk_flags, jnp.zeros((1,), jnp.int32)]
+    )
+
     return PaddedSchedule(
         blk_tile=blk_tile,
         pad_off=pad_off,
@@ -424,6 +447,7 @@ def pad_schedule(stream: FragmentStream, chunk: int,
         src=src,
         valid=valid,
         tile_written=tile_written,
+        blk_flags=blk_flags,
     )
 
 

@@ -7,12 +7,15 @@ exactly one tile and is processed exactly once — no block sharing, no
 revisit accumulation):
 
 - grid = one program per GROUP of ``group`` blocks, with a STATIC inner
-  unroll gated per block on the live count. Dead blocks skip all math,
-  so dead capacity costs only bandwidth; per-grid-step dispatch overhead
-  amortizes over the group, and the scalar core stays out of the inner
-  loop (a manual per-block DMA chain measured ~2-14 us/block of
-  descriptor/semaphore overhead; Pallas's automatic pipeline at group
-  granularity pays it once per group).
+  unroll. The inner loop is BRANCH-FREE: round-3 profiling showed the
+  kernels are scalar-core bound (~0.9 us/block of control flow vs
+  ~0.2 us of math), so all per-block conditions (block liveness, lane
+  validity, per-tile state reset) are folded into vector selects driven
+  by two precomputed per-block words — a packed flags array
+  (tile | first | last, built block-scale in ops/binning.pad_schedule)
+  and a per-lane tile-id row carried IN the sorted stream. The only
+  remaining branches are the per-tile flush/prefetch DMAs (fire once per
+  tile, not per block) and one group-level saturation gate.
 - the kernels read the (tile, depth)-sorted attribute stream IN PLACE:
   two overlapping auto-pipelined [16, group*chunk] windows cover every
   block of a group (block start offsets are monotone with increments
@@ -22,6 +25,14 @@ revisit accumulation):
   against the 256 tile pixels held on the other axis — [256 pixels,
   chunk frags] VPU math with no per-chunk transposes and no repacked
   copy of the stream.
+- per-lane validity: a fragment lane belongs to the current block's tile
+  iff its tile-id row equals the block's tile (padding lanes read the
+  NEXT tile's fragments or the t_total-tagged tail, so the equality
+  fails exactly where the old lane-count test masked). This removes
+  per-block lane-count scalars entirely.
+- x/y attribute rows are stored TILE-LOCAL (shifted by the owning tile's
+  pixel origin XLA-side after the sort), so the kernels never touch
+  tile coordinates.
 - tile pixel blocks are stored [T, 4, 256] — channels on sublanes, pixels
   on lanes (a trailing dim of 4 would be lane-padded 32x by Mosaic). Tiles
   are flushed once per tile through a manually double-buffered DMA chain
@@ -30,8 +41,10 @@ revisit accumulation):
 - the front-to-back transmittance recurrence is computed per block as
   exp(cumsum(log1p(-alpha))) with the exclusive cumsum done as blocked
   strict-lower-triangular matmuls on the MXU.
-- a per-block early-out skips all math once every pixel of the tile has
-  saturated (T <= T_MIN): dense scenes stop paying for occluded fragments.
+- a per-GROUP early-out skips all math once every pixel of the tile has
+  saturated (T <= T_MIN) and no new tile starts in the group: dense
+  scenes stop paying for occluded fragments (at most one group of
+  post-saturation math per tile).
 
 Blending semantics match render/reference.py exactly (alpha clamp 0.99,
 alpha floor 1/255, q cutoff 3 sigma, T floor 1e-4); the backward kernel
@@ -39,9 +52,9 @@ re-derives gradients analytically per tile with suffix sums
 S_i = C_blend - A_i so everything runs front-to-back in one pass
 (no reverse sweep, bounded memory).
 
-Attribute rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:r 6:g 7:b
-8:opacity 9..15:pad (Mosaic requires sublane-tile-aligned DMA slices, so
-the attribute array keeps 16 rows).
+Attribute rows: 0:x_local 1:y_local 2:conic_a 3:conic_b 4:conic_c 5:r 6:g
+7:b 8:opacity 9:gid 10:tile_id 11..15:pad (Mosaic requires
+sublane-tile-aligned DMA slices, so the attribute array keeps 16 rows).
 """
 
 from __future__ import annotations
@@ -59,6 +72,10 @@ from .kernel_bundle import interpret_mode
 ATTR_ROWS = 16
 PIX = TILE_SIZE * TILE_SIZE  # 256 pixels per tile
 
+# Stream row indices (see module docstring).
+GID_ROW = 9
+TILE_ROW = 10
+
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
@@ -67,8 +84,17 @@ Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
 # Blocks per grid step (static inner unroll). Sets the automatic pipeline
 # granularity: bigger groups amortize dispatch overhead, cost more VMEM
 # (2 x ATTR_ROWS x group*chunk f32 in flight) and waste more bandwidth on
-# the ragged last group.
-DEFAULT_GROUP = 8
+# the ragged last group. Overridable for hardware A/Bs; like
+# GS_TPU_CUMSUM_IMPL this is read at trace time — set it before the
+# first render in a process.
+import os as _os
+
+DEFAULT_GROUP = int(_os.environ.get("GS_TPU_GROUP", "8"))
+
+# Per-block flags word (ops/binning.pad_schedule): tile<<2 | first<<1 |
+# last, 0 for dead blocks past the live count.
+FLAG_FIRST = 2
+FLAG_LAST = 1
 
 # The TPU contracts f32 operands as bf16 multi-pass; at DEFAULT precision
 # that is a single bf16 pass (~2^-8 relative), which wrecks the quadratic
@@ -89,12 +115,12 @@ def _pixel_basis(chunk):
     )
 
 
-def _chunk_alphas(frag, nlive, tx, ty, chunk,
-                  cutoff_sq=Q_CUTOFF, mode=0):
+def _chunk_alphas(frag, valid, chunk, cutoff_sq=Q_CUTOFF, mode=0):
     """Shared fwd/bwd per-block math up to alpha. ``frag`` is the loaded
-    [ATTR_ROWS, chunk] block; ``nlive`` the number of live lanes (padding
-    lanes mask to no-ops). Returns per-fragment rows [1, K] and
-    per-(pixel, fragment) [PIX, K] arrays.
+    [ATTR_ROWS, chunk] block with TILE-LOCAL x/y rows; ``valid`` the
+    [1, chunk] lane-ownership mask (lane's tile-id row == block's tile).
+    Returns per-fragment rows [1, K] and per-(pixel, fragment) [PIX, K]
+    arrays.
     ``mode``: 0 splat (gaussian falloff), 1 ellipse (opaque boundary ring),
     2 point (treated as splat; projection substitutes an isotropic conic) —
     the GaussianDisplayMode analog (reference: gaussian_transform.rs:7-14).
@@ -105,11 +131,8 @@ def _chunk_alphas(frag, nlive, tx, ty, chunk,
     keep the expansion well-conditioned (|x_local| is bounded by the splat
     radius because fragments only exist in bbox-overlapping tiles).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    inrange = lane < nlive
-
-    x_l = frag[0:1, :] - (tx * TILE_SIZE).astype(jnp.float32)
-    y_l = frag[1:2, :] - (ty * TILE_SIZE).astype(jnp.float32)
+    x_l = frag[0:1, :]
+    y_l = frag[1:2, :]
     c0 = frag[2:3, :]
     c1 = frag[3:4, :]
     c2 = frag[4:5, :]
@@ -138,12 +161,12 @@ def _chunk_alphas(frag, nlive, tx, ty, chunk,
         alpha_raw = op * g_exp
         alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
         ring = (q <= cutoff_sq) & (q >= cutoff_sq * 0.64)
-        ok = inrange & ring & (alpha >= ALPHA_MIN)
+        ok = valid & ring & (alpha >= ALPHA_MIN)
     else:
         g_exp = jnp.exp(-0.5 * q)
         alpha_raw = op * g_exp
         alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
-        ok = inrange & (q <= cutoff_sq) & (alpha >= ALPHA_MIN)
+        ok = valid & (q <= cutoff_sq) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
     return alpha, alpha_raw, g_exp, ok, x_l, y_l, q
 
@@ -163,9 +186,21 @@ CUMSUM_BLOCK = 128
 
 
 def _cumsum_impl():
+    """Cumsum-by-matmul implementation knob, read from the environment.
+
+    Trace-time semantics: the value is baked into the jitted kernels at
+    FIRST trace in a process — set GS_TPU_CUMSUM_IMPL before the first
+    render; changing it afterwards has no effect (the jit cache will not
+    retrace). Unrecognized values raise instead of silently falling back.
+    """
     import os
 
-    return os.environ.get("GS_TPU_CUMSUM_IMPL", "split")
+    impl = os.environ.get("GS_TPU_CUMSUM_IMPL", "split")
+    if impl not in ("split", "highest"):
+        raise ValueError(
+            f"GS_TPU_CUMSUM_IMPL must be 'split' or 'highest', got {impl!r}"
+        )
+    return impl
 
 
 def _tri_dot(x, tri_b):
@@ -180,6 +215,14 @@ def _tri_dot(x, tri_b):
     per output lane (well inside the 1e-4 gradient / 2e-5 image bars;
     the transmittance exponent |ecs| is <= ln(1/T_MIN) ~ 9.2 wherever T
     is still live, so T's relative error stays <= ~3.5e-5 worst-case).
+
+    Error-bound scope: the RELATIVE bound above holds only for the
+    same-sign forward cumsum (log1p(-alpha) <= 0 everywhere, no
+    cancellation). The backward strict=False call on wgt*u has mixed
+    signs, where cancellation makes relative error unbounded — the
+    guarantee there is ABSOLUTE: ~2^-18 * sum|wgt*u| per lane, held to
+    the normalized-atol-1e-4 gradient parity bar by tests, not by a
+    relative argument.
     """
     if _cumsum_impl() == "highest":
         return jnp.dot(x, tri_b, preferred_element_type=jnp.float32,
@@ -219,7 +262,6 @@ def _cumsum_lanes(x, chunk, strict):
 _NSCRATCH = 4
 
 
-
 def _load_block(win_buf, off, chunk):
     """[ATTR_ROWS, chunk] block at dynamic lane offset ``off`` of the
     staged window pair. Mosaic requires dynamic lane indices to be
@@ -233,8 +275,17 @@ def _load_block(win_buf, off, chunk):
     return rolled[:, :chunk]
 
 
+def _block_flags(flags_ref, base, group):
+    """Decode the group's per-block flag words into scalar lists."""
+    words = [flags_ref[base + j] for j in range(group)]
+    tids = [w >> 2 for w in words]
+    firsts = [(w & FLAG_FIRST) != 0 for w in words]
+    lasts = [(w & FLAG_LAST) != 0 for w in words]
+    return tids, firsts, lasts
+
+
 def _fwd_kernel(
-    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref, off_ref, fl_ref,
+    live_ref, flags_ref, off_ref, fl_ref,
     lo_ref, hi_ref,  # VMEM (ATTR_ROWS, group*chunk) x2 — sorted-stream
     #                  windows; every block is a contiguous slice of their
     #                  concatenation (no repacked copy of the stream)
@@ -249,13 +300,11 @@ def _fwd_kernel(
     *,
     chunk: int,
     group: int,
-    tiles_x: int,
     bg: tuple,
     cutoff_sq: float,
     mode: int,
 ):
     g = pl.program_id(0)
-    live = live_ref[0]
     base = g * group
     win_buf[:, : group * chunk] = lo_ref[...]
     win_buf[:, group * chunk: 2 * group * chunk] = hi_ref[...]
@@ -266,77 +315,92 @@ def _fwd_kernel(
         smem[1] = 0
         smem[2] = 0  # flush sequence counter (staging slot parity)
 
-    for j in range(group):
-        b = base + j
+    tids, firsts, lasts = _block_flags(flags_ref, base, group)
+    any_first = functools.reduce(jnp.logical_or, firsts)
 
-        @pl.when(b < live)
-        def _(b=b, j=j):
-            t = blk_tile_ref[b]
-            p0 = pad_off_ref[t]
-            ln = tile_len_ref[t]
-            first = b * chunk == p0
-            last = ((b + 1) * chunk >= p0 + ln) | (b == live - 1)
-            nlive = p0 + ln - b * chunk  # live lanes in this block
+    def flush(t):
+        oslot = jax.lax.rem(smem[2], 2)
+        smem[2] += 1
 
-            @pl.when(first)
-            def _():
-                state_ref[...] = jnp.zeros((PIX, 8), jnp.float32)
-                state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+        @pl.when(smem[oslot] > 0)
+        def _():
+            pltpu.make_async_copy(
+                out_buf.at[oslot], out_hbm.at[0], out_sem.at[oslot]
+            ).wait()
 
-            # Early-out: once every pixel of the tile is saturated the
-            # remaining fragments blend nothing (the T_MIN floor).
-            alive = jnp.max(state_ref[:, 3]) > T_MIN
+        t_f = state_ref[:, 3:4]
+        cols = [
+            state_ref[:, ch: ch + 1] + t_f * float(bg[ch])
+            for ch in range(3)
+        ]
+        final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
+        out_buf[oslot] = final.T  # one [256,4] transpose per tile
+        pltpu.make_async_copy(
+            out_buf.at[oslot], out_hbm.at[t], out_sem.at[oslot]
+        ).start()
+        smem[oslot] = 1
 
-            @pl.when(alive)
-            def _():
-                frag = _load_block(win_buf, off_ref[b], chunk)
-                alpha, _, _, _, _, _, _ = _chunk_alphas(
-                    frag, nlive, t % tiles_x, t // tiles_x, chunk,
-                    cutoff_sq, mode,
-                )
+    # Group-level saturation gate: if every pixel of the current tile is
+    # saturated and no new tile starts here, the whole group's fragments
+    # blend nothing (the T_MIN floor). Dead trailing blocks (flags 0) do
+    # run the branch-free body when their group is live, but their lanes
+    # read the t_total-tagged tail / other tiles, so valid is all-false
+    # and every contribution is exactly zero.
+    work = any_first | (jnp.max(state_ref[:, 3]) > T_MIN)
 
-                log1m = jnp.log1p(-alpha)
-                ecs = _cumsum_lanes(log1m, chunk, strict=True)
+    @pl.when(work)
+    def _():
+        for j in range(group):
+            first = firsts[j]
+            frag = _load_block(win_buf, off_ref[base + j], chunk)
+            valid = frag[TILE_ROW:TILE_ROW + 1, :] == tids[j].astype(
+                jnp.float32
+            )
+            alpha, _, _, _, _, _, _ = _chunk_alphas(
+                frag, valid, chunk, cutoff_sq, mode
+            )
 
-                t_run = state_ref[:, 3:4]
-                t_i = t_run * jnp.exp(ecs)  # [PIX, K]
-                blend = t_i > T_MIN
-                wgt = jnp.where(blend, alpha * t_i, 0.0)
+            log1m = jnp.log1p(-alpha)
+            ecs = _cumsum_lanes(log1m, chunk, strict=True)
 
-                # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
-                # contraction instead of three VPU multiply+reduce passes.
-                c_rows = frag[5:8, :]  # [3, K]
-                state_ref[:, 0:3] += jax.lax.dot_general(
-                    wgt, c_rows, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HIGH,
-                )
-                state_ref[:, 3:4] = t_run * jnp.exp(
-                    jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
-                            keepdims=True)
-                )
+            # Per-tile state reset folded into vector selects (no branch).
+            t_run = jnp.where(first, 1.0, state_ref[:, 3:4])
+            t_i = t_run * jnp.exp(ecs)  # [PIX, K]
+            blend = t_i > T_MIN
+            wgt = jnp.where(blend, alpha * t_i, 0.0)
 
-            @pl.when(last)
-            def _():
-                oslot = jax.lax.rem(smem[2], 2)
-                smem[2] += 1
+            # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
+            # contraction instead of three VPU multiply+reduce passes.
+            c_rows = frag[5:8, :]  # [3, K]
+            state_ref[:, 0:3] = jnp.where(
+                first, 0.0, state_ref[:, 0:3]
+            ) + jax.lax.dot_general(
+                wgt, c_rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HIGH,
+            )
+            state_ref[:, 3:4] = t_run * jnp.exp(
+                jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
+                        keepdims=True)
+            )
 
-                @pl.when(smem[oslot] > 0)
-                def _():
-                    pltpu.make_async_copy(
-                        out_buf.at[oslot], out_hbm.at[0], out_sem.at[oslot]
-                    ).wait()
+            @pl.when(lasts[j])
+            def _(t=tids[j]):
+                flush(t)
 
-                t_f = state_ref[:, 3:4]
-                cols = [
-                    state_ref[:, ch: ch + 1] + t_f * float(bg[ch])
-                    for ch in range(3)
-                ]
-                final = jnp.concatenate(cols + [t_f], axis=1)  # [PIX, 4]
-                out_buf[oslot] = final.T  # one [256,4] transpose per tile
-                pltpu.make_async_copy(
-                    out_buf.at[oslot], out_hbm.at[t], out_sem.at[oslot]
-                ).start()
-                smem[oslot] = 1
+    @pl.when(jnp.logical_not(work))
+    def _():
+        # A saturated, skipped group contains no tile starts, so all its
+        # blocks continue ONE tile; if that tile ends here, flush its
+        # (unchanged) state. At most one last flag is set.
+        any_last = functools.reduce(jnp.logical_or, lasts)
+
+        @pl.when(any_last)
+        def _():
+            t = functools.reduce(
+                jax.lax.add,
+                [jnp.where(lasts[j], tids[j], 0) for j in range(group)],
+            )
+            flush(t)
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _():
@@ -356,33 +420,37 @@ _BWD_PIX_ROWS = 8
 
 
 def _bwd_kernel(
-    live_ref, blk_tile_ref, pad_off_ref, tile_len_ref, off_ref, fl_ref,
+    live_ref, flags_ref, off_ref, fl_ref,
     lo_ref, hi_ref,  # VMEM (ATTR_ROWS, group*chunk) x2 sorted-stream windows
     pix_hbm,  # [n_tiles, 8, PIX] HBM: per-tile backward pixel inputs
     dfrag_ref,  # out VMEM (ATTR_ROWS, group*chunk) — auto-pipelined,
     #             row-major so the caller's reorder needs no transpose
-    tile_buf,  # VMEM (2, _BWD_PIX_ROWS, PIX) per-tile input staging
+    tile_buf,  # VMEM (group + 2, _BWD_PIX_ROWS, PIX) per-tile input
+    #            staging ring: the branch-free prologue issues every
+    #            next-tile prefetch of the group (up to ``group`` of them)
+    #            BEFORE the work region consumes any, plus one may be
+    #            pending from the previous group — reuse distance is
+    #            group + 1, so group + 2 slots never collide in flight
     win_buf,  # VMEM (ATTR_ROWS, 2*group*chunk + chunk) window staging
     state_ref,  # VMEM (PIX, 16): 0-2 prefix A rgb, 3 T, 4 t_f, 5 gT_tot,
     #             6-8 g_rgb, 9-11 c_blend (per-pixel columns)
     smem,  # SMEM (_NSCRATCH,): [2] tile issue count, [3] consume count
-    tile_sem,  # DMA semaphores (2,)
+    tile_sem,  # DMA semaphores (group + 2,)
     *,
     chunk: int,
     group: int,
-    tiles_x: int,
     bg: tuple,
     cutoff_sq: float,
     mode: int,
 ):
     g = pl.program_id(0)
-    live = live_ref[0]
     base = g * group
+    nslots = group + 2
     win_buf[:, : group * chunk] = lo_ref[...]
     win_buf[:, group * chunk: 2 * group * chunk] = hi_ref[...]
 
     def start_tile_dma(t):
-        slot = jax.lax.rem(smem[2], 2)
+        slot = jax.lax.rem(smem[2], nslots)
         pltpu.make_async_copy(
             pix_hbm.at[t], tile_buf.at[slot], tile_sem.at[slot]
         ).start()
@@ -393,40 +461,64 @@ def _bwd_kernel(
         smem[2] = 0
         smem[3] = 0
 
-        @pl.when(live > 0)
+        @pl.when(live_ref[0] > 0)
         def _():
-            start_tile_dma(blk_tile_ref[0])
+            start_tile_dma(flags_ref[0] >> 2)
 
-    # Dead/skipped blocks must still produce zero gradients, and row 9
-    # (the reorder key) must read "invalid" (-1) so their zero entries
-    # don't inflate gaussian 0's segment in the backward segment
-    # reduction. The automatic out pipeline stores this block every step.
+    # Dead/skipped blocks must still produce zero gradients; the per-block
+    # gid writes below tag every lane (live: its gaussian id, padding/
+    # dead: -1 via the validity mask) so the caller's segment reduction
+    # never misattributes. The automatic out pipeline stores this block
+    # every step.
     dfrag_ref[...] = jnp.zeros_like(dfrag_ref)
-    dfrag_ref[9:10, :] = -jnp.ones((1, group * chunk), jnp.float32)
 
+    tids, firsts, lasts = _block_flags(flags_ref, base, group)
+    any_first = functools.reduce(jnp.logical_or, firsts)
+
+    # Unconditional per-block prologue (branch-free except the rare
+    # prefetch-issue DMA): carve the block, tag the gid key row, and keep
+    # the carved values for the gated math below. The gid key row MUST be
+    # written for every LIVE fragment even when the saturation early-out
+    # skips the math: a missing gid would surface as a zero-gradient
+    # no-key lane, which is exactly what -1 marks — but a LIVE lane's
+    # key must land so its (exactly-zero) gradient rows stay attributed
+    # to the right gaussian. Saturation makes the gradient ROWS exactly
+    # zero (T <= T_MIN => blend == False => wgt = dalpha = 0), so
+    # skipping the body is exact; only the key must land unconditionally.
+    frags = []
+    valids = []
+    gid_rows = []
     for j in range(group):
         b = base + j
+        frag = _load_block(win_buf, off_ref[b], chunk)
+        valid = frag[TILE_ROW:TILE_ROW + 1, :] == tids[j].astype(jnp.float32)
+        gid_row = jnp.where(valid, frag[GID_ROW:GID_ROW + 1, :], -1.0)
+        dfrag_ref[GID_ROW:GID_ROW + 1, j * chunk:(j + 1) * chunk] = gid_row
+        frags.append(frag)
+        valids.append(valid)
+        gid_rows.append(gid_row)
 
-        @pl.when(b < live)
-        def _(b=b, j=j):
-            # Prefetch the NEXT tile's pixel inputs as soon as its first
-            # block is one step away, so the first-block prologue below
-            # never stalls on a fresh DMA.
-            @pl.when((b + 1 < live) & (blk_tile_ref[b + 1] != blk_tile_ref[b]))
-            def _():
-                start_tile_dma(blk_tile_ref[b + 1])
+        # Prefetch the NEXT tile's pixel inputs as soon as its first
+        # block is one step away, so the first-block prologue below
+        # never stalls on a fresh DMA. Must run even for skipped groups
+        # (the consume side waits on it at the tile's first block).
+        nxt = flags_ref[b + 1]
 
-            t = blk_tile_ref[b]
-            p0 = pad_off_ref[t]
-            ln = tile_len_ref[t]
-            first = b * chunk == p0
-            nlive = p0 + ln - b * chunk
+        @pl.when((nxt & FLAG_FIRST) != 0)
+        def _(nxt=nxt):
+            start_tile_dma(nxt >> 2)
 
-            @pl.when(first)
-            def _():
-                tslot = jax.lax.rem(smem[3], 2)
+    work = any_first | (jnp.max(state_ref[:, 3]) > T_MIN)
+
+    @pl.when(work)
+    def _():
+        for j in range(group):
+            @pl.when(firsts[j])
+            def _(j=j):
+                tslot = jax.lax.rem(smem[3], nslots)
                 pltpu.make_async_copy(
-                    pix_hbm.at[t], tile_buf.at[tslot], tile_sem.at[tslot]
+                    pix_hbm.at[tids[j]], tile_buf.at[tslot],
+                    tile_sem.at[tslot]
                 ).wait()
                 smem[3] += 1
                 state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
@@ -443,35 +535,16 @@ def _bwd_kernel(
                     axis=1,
                 )
 
-            # The gid key row MUST be written for every LIVE fragment even
-            # when the saturation early-out skips the math: the caller's
-            # segment reduction assumes each live fragment appears exactly
-            # once at the analytic expansion offsets — a missing gid (-1)
-            # shifts every later gaussian's segment and misattributes
-            # gradients across unrelated gaussians. Saturation makes the
-            # gradient ROWS exactly zero (T <= T_MIN => blend == False =>
-            # wgt = dalpha = 0), so skipping the body is exact for them;
-            # only the key must land unconditionally.
-            frag = _load_block(win_buf, off_ref[b], chunk)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            gid_row = jnp.where(lane < nlive, frag[9:10, :], -1.0)
-            dfrag_ref[9:10, j * chunk:(j + 1) * chunk] = gid_row
-
-            alive = jnp.max(state_ref[:, 3]) > T_MIN
-
-            @pl.when(alive)
-            def _():
-                _bwd_block_body(
-                    frag, gid_row, dfrag_ref,
-                    state_ref, j, nlive, t % tiles_x, t // tiles_x,
-                    chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
-                )
+            _bwd_block_body(
+                frags[j], valids[j], gid_rows[j], dfrag_ref, state_ref, j,
+                chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
+            )
 
 
-def _bwd_block_body(frag, gid_row, dfrag_ref, state_ref, j, nlive, tx, ty,
+def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
                     *, chunk, cutoff_sq, mode):
     alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
-        frag, nlive, tx, ty, chunk, cutoff_sq, mode,
+        frag, valid, chunk, cutoff_sq, mode,
     )
     c0 = frag[2:3, :]
     c1 = frag[3:4, :]
@@ -570,6 +643,28 @@ def _bwd_block_body(frag, gid_row, dfrag_ref, state_ref, j, nlive, tx, ty,
     )
 
 
+def _grid_steps(live_blocks, b_cap, group):
+    """Live-block-bound grid: on hardware the kernels run only the groups
+    that contain live blocks (Mosaic supports dynamic grid bounds — a
+    traced scalar; validated by tools/probe_dyngrid.py). ~30% of the
+    capacity-bound grid is dead padding at bench shapes (VERDICT r3).
+    Interpret mode (CPU tests) keeps the static capacity grid — the
+    interpreter cannot loop over a traced bound; dead groups there are
+    exact no-ops (flags 0, tile-equality mask all-false).
+
+    The consumers handle the never-visited tail: forward tiles of
+    truncated blocks are composited via ``tile_written``; the backward
+    caller masks dfrag lanes past ``live_blocks * chunk`` before its
+    sort/segment-reduce (unwritten memory may hold NaN, which a 0-weight
+    matmul would NOT sanitize).
+    """
+    if interpret_mode():
+        return b_cap // group
+    return jnp.maximum(
+        jax.lax.div(live_blocks[0] + group - 1, group), 1
+    )
+
+
 def _window_specs(group, chunk):
     """Two overlapping sorted-stream windows: block b's fragments live at
     lane offset off[b] within the concatenation of windows fl[g] and
@@ -577,22 +672,20 @@ def _window_specs(group, chunk):
     blocks always fit in 2 * group * chunk lanes)."""
     return [
         pl.BlockSpec((ATTR_ROWS, group * chunk),
-                     lambda g, live, bt, po, tl, off, fl: (0, fl[g])),
+                     lambda g, live, flags, off, fl: (0, fl[g])),
         pl.BlockSpec((ATTR_ROWS, group * chunk),
-                     lambda g, live, bt, po, tl, off, fl: (0, fl[g] + 1)),
+                     lambda g, live, flags, off, fl: (0, fl[g] + 1)),
     ]
 
 
 def rasterize_tiles_fwd(
-    mat,  # [ATTR_ROWS, MAT_COLS] f32 sorted stream (row 9 = gid), padded
+    mat,  # [ATTR_ROWS, MAT_COLS] f32 sorted stream (rows: see module doc),
+    #       x/y tile-local, row 9 gid, row 10 tile id, tail tile = t_total
     off,  # [B_cap] int32: block's lane offset within its window pair
     fl,  # [n_groups] int32: window index per group
-    blk_tile,  # [B_cap] int32: tile owning each padded block
-    pad_off,  # [T] int32: tile's first padded slot (chunk-aligned)
-    tile_len,  # [T] int32: tile's live fragment count
+    blk_flags,  # [B_cap + 1] int32: tile<<2 | first<<1 | last, 0 when dead
     live_blocks,  # [1] int32
     chunk: int,
-    tiles_x: int,
     n_tiles: int,
     bg: tuple,
     cutoff_sq: float = Q_CUTOFF,
@@ -607,11 +700,11 @@ def rasterize_tiles_fwd(
     differentiable by itself — render/renderer.py wires the custom vjp
     around binning + this + :func:`rasterize_tiles_bwd`.
     """
-    b_cap = blk_tile.shape[0]
+    b_cap = blk_flags.shape[0] - 1
     assert b_cap % group == 0, "block capacity must be a group multiple"
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(b_cap // group,),
+        num_scalar_prefetch=4,
+        grid=(_grid_steps(live_blocks, b_cap, group),),
         in_specs=_window_specs(group, chunk),
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -624,20 +717,18 @@ def rasterize_tiles_fwd(
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, chunk=chunk, group=group,
-                          tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
-                          mode=mode),
+                          bg=bg, cutoff_sq=cutoff_sq, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, PIX), jnp.float32),
         interpret=interpret_mode(),
-    )(live_blocks, blk_tile, pad_off, tile_len, off, fl, mat, mat)
+    )(live_blocks, blk_flags, off, fl, mat, mat)
 
 
 def rasterize_tiles_bwd(
-    mat, off, fl, blk_tile, pad_off, tile_len, live_blocks,
+    mat, off, fl, blk_flags, live_blocks,
     out,  # [n_tiles, 4, PIX]: the forward output (residual)
     g_out,  # [n_tiles, 4, PIX]: its cotangent
     chunk: int,
-    tiles_x: int,
     n_tiles: int,
     bg: tuple,
     cutoff_sq: float = Q_CUTOFF,
@@ -650,7 +741,7 @@ def rasterize_tiles_bwd(
     row 9 the owning gaussian id (-1 on padding/dead lanes) — the key for
     the caller's sort + segment reduction back to the [N, 9] table.
     """
-    b_cap = blk_tile.shape[0]
+    b_cap = blk_flags.shape[0] - 1
 
     # Per-tile backward pixel inputs, all tile-scale elementwise (XLA
     # fuses this into one pass over the [T, 4, PIX] arrays).
@@ -664,30 +755,29 @@ def rasterize_tiles_bwd(
     pix_in = jnp.concatenate([g_rgb, g_t_total, t_f, c_blend], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(b_cap // group,),
+        num_scalar_prefetch=4,
+        grid=(_grid_steps(live_blocks, b_cap, group),),
         in_specs=_window_specs(group, chunk) + [
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((ATTR_ROWS, group * chunk),
                                lambda g, *p: (0, g)),
         scratch_shapes=[
-            pltpu.VMEM((2, _BWD_PIX_ROWS, PIX), jnp.float32),
+            pltpu.VMEM((group + 2, _BWD_PIX_ROWS, PIX), jnp.float32),
             pltpu.VMEM((ATTR_ROWS, 2 * group * chunk + chunk), jnp.float32),
             pltpu.VMEM((PIX, 16), jnp.float32),
             pltpu.SMEM((_NSCRATCH,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((group + 2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk, group=group,
-                          tiles_x=tiles_x, bg=bg, cutoff_sq=cutoff_sq,
-                          mode=mode),
+                          bg=bg, cutoff_sq=cutoff_sq, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ATTR_ROWS, b_cap * chunk),
                                        jnp.float32),
         interpret=interpret_mode(),
-    )(live_blocks, blk_tile, pad_off, tile_len, off, fl, mat, mat, pix_in)
+    )(live_blocks, blk_flags, off, fl, mat, mat, pix_in)
 
 
 def tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int,

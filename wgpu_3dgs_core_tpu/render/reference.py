@@ -68,11 +68,16 @@ def render_reference(
     max_std_dev: float = 3.0,
     display_mode: int = 0,
     antialiased: bool = False,
+    pixel_window: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Render [H, W, 3] by blending every gaussian at every pixel.
 
     ``base_color``: [N, 3] in [0,1]; ``opacity``: [N] in [0,1];
     ``sh``: optional [N, 15, 3] rest coefficients.
+    ``pixel_window``: optional (x0, y0, w, h) crop — identical blending
+    semantics evaluated only at those pixels (projection still uses the
+    full camera). Lets bench-shape gradient-parity checks avoid the
+    infeasible O(N * W * H) dense evaluation (tools/grad_parity_tpu.py).
     """
     h, w_px = camera.height, camera.width
     splats = project(means, cov3d_sigma6, camera, model_transform,
@@ -108,7 +113,18 @@ def render_reference(
     a = opacity[order] * splats.mask[order]
 
     # Pixel centers.
-    ys, xs = jnp.mgrid[0:h, 0:w_px]
+    if pixel_window is not None:
+        # (x0, y0) may be traced (chunked-crop loops jit one signature);
+        # only the crop SIZE must be static.
+        wx0, wy0, h, w_px = (
+            pixel_window[0], pixel_window[1], int(pixel_window[3]),
+            int(pixel_window[2]),
+        )
+        ys, xs = jnp.mgrid[0:h, 0:w_px]
+        ys = ys + wy0
+        xs = xs + wx0
+    else:
+        ys, xs = jnp.mgrid[0:h, 0:w_px]
     px = (xs + 0.5).astype(jnp.float32).reshape(-1)  # [P]
     py = (ys + 0.5).astype(jnp.float32).reshape(-1)
 

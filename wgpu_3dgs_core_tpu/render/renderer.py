@@ -23,6 +23,7 @@ from ..buffer import (
 )
 from ..layouts import Cov3dFormat, PackedGaussians
 from ..ops.binning import (
+    TILE_SIZE,
     bin_splats_attrs,
     default_max_fragments,
     num_tiles,
@@ -32,6 +33,7 @@ from ..ops.projection import project
 from ..ops.rasterize import (
     ATTR_ROWS,
     DEFAULT_GROUP,
+    TILE_ROW,
     rasterize_tiles_bwd,
     rasterize_tiles_fwd,
     tiles_to_image,
@@ -185,25 +187,40 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
     )
     sched = pad_schedule(stream, chunk, f_pad_cap)
 
-    # [16, MAT_COLS] sorted matrix: rows 0-8 attributes, row 9 the owning
-    # gaussian id (f32-exact below 2^24; the backward reorder key — rode
-    # the expand fetch + sort as an f32 payload), rows 10-15 pad. Columns
-    # padded so any window pair fl, fl+1 with fl <= f_cap // grp stays in
-    # bounds — the kernels read the stream IN PLACE through two
+    # [16, MAT_COLS] sorted matrix: rows 0-1 TILE-LOCAL x/y (shifted by
+    # the owning tile's pixel origin so the kernels never touch tile
+    # coordinates), rows 2-8 attributes, row 9 the owning gaussian id
+    # (f32-exact below 2^24; the backward reorder key — rode the expand
+    # fetch + sort as an f32 payload), row 10 the owning tile id (the
+    # kernels' per-lane validity key; padding slots carry t_total from
+    # the binning, and the column tail is filled with t_total too so
+    # out-of-stream lanes never match a live tile), rows 11-15 pad.
+    # Columns padded so any window pair fl, fl+1 with fl <= f_cap // grp
+    # stays in bounds — the kernels read the stream IN PLACE through two
     # overlapping auto-pipelined windows instead of repacking a padded
     # copy (a vmapped-slice repack measured ~100 ms at bench shapes).
+    tile_sorted = stream.tile_id
+    x_local = attrs_sorted[0] - (
+        (tile_sorted % tiles_x) * TILE_SIZE
+    ).astype(jnp.float32)
+    y_local = attrs_sorted[1] - (
+        (tile_sorted // tiles_x) * TILE_SIZE
+    ).astype(jnp.float32)
     mat_cols = (-(-f_cap // grp) + 2) * grp
     mat = jnp.concatenate(
         [
-            attrs_sorted,
-            jnp.zeros((ATTR_ROWS - attrs_sorted.shape[0], f_cap),
+            x_local[None],
+            y_local[None],
+            attrs_sorted[2:],
+            tile_sorted.astype(jnp.float32)[None],
+            jnp.zeros((ATTR_ROWS - attrs_sorted.shape[0] - 1, f_cap),
                       jnp.float32),
         ],
         axis=0,
     )
-    mat = jnp.concatenate(
-        [mat, jnp.zeros((ATTR_ROWS, mat_cols - f_cap), jnp.float32)], axis=1
-    )
+    tail = jnp.zeros((ATTR_ROWS, mat_cols - f_cap), jnp.float32)
+    tail = tail.at[TILE_ROW].set(float(t_total))
+    mat = jnp.concatenate([mat, tail], axis=1)
 
     # Per-block window coordinates: src_base is monotone nondecreasing
     # with increments <= chunk (tile segments are contiguous in the
@@ -216,14 +233,13 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
     ).astype(jnp.int32)
 
     tiles = rasterize_tiles_fwd(
-        mat, off, fl, sched.blk_tile, sched.pad_off, sched.tile_len,
-        sched.live_blocks, chunk, tiles_x, t_total, bg, cutoff_sq, mode,
-        group,
+        mat, off, fl, sched.blk_flags, sched.live_blocks, chunk, t_total,
+        bg, cutoff_sq, mode, group,
     )
     out = (tiles, sched.tile_written, stream.overflow)
-    res = (mat, off, fl, sched.blk_tile, sched.pad_off, sched.tile_len,
-           sched.live_blocks, tab_t, stream.num_fragments, tiles,
-           stream.overflow, xy, extent, depth, mask_f)
+    res = (mat, off, fl, sched.blk_flags, sched.live_blocks, tab_t,
+           stream.num_fragments, tiles, stream.overflow, xy, extent,
+           depth, mask_f)
     return out, res
 
 
@@ -259,28 +275,36 @@ def _bin_rasterize_fwd(attr_cols, xy, extent, depth, mask_f,
 
 def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
                        bg, cutoff_sq, mode, residuals, cots):
-    (mat, off, fl, blk_tile, pad_off, tile_len, live_blocks, tab_t,
+    (mat, off, fl, blk_flags, live_blocks, tab_t,
      num_frag, tiles_out, overflow, xy, extent, depth, mask_f) = residuals
     d_tiles = cots[0]  # other outputs are non-differentiable
     t_total = tiles_x * tiles_y
 
     dfrag = rasterize_tiles_bwd(
-        mat, off, fl, blk_tile, pad_off, tile_len, live_blocks,
-        tiles_out, d_tiles, chunk, tiles_x, t_total, bg, cutoff_sq, mode,
+        mat, off, fl, blk_flags, live_blocks,
+        tiles_out, d_tiles, chunk, t_total, bg, cutoff_sq, mode,
         DEFAULT_GROUP,
     )  # [16, F_pad]: rows 0-8 gradients, row 9 gid key (-1 invalid)
 
     f_pad = dfrag.shape[1]
     n = xy.shape[0]
-    gid_key = dfrag[9].astype(jnp.int32)
     slot = jnp.arange(f_pad, dtype=jnp.int32)
-    # Invalid lanes (gid -1: padding, dead blocks) get keys past every
-    # real gaussian so the live region after the sort is gaussian-major.
-    # Stability is NOT needed: the segment reduction matches keys by
-    # equality, so only grouping matters, not order within a group.
+    # The live-block-bound grid (ops/rasterize._grid_steps) never writes
+    # dfrag past live_blocks * chunk — unwritten memory may hold NaN,
+    # which the segment reduction's 0-weight matmul would not sanitize.
+    # Mask both the key row and the gradient rows before sorting.
+    live_lanes = slot < live_blocks[0] * chunk
+    gid_key = jnp.where(live_lanes, dfrag[9].astype(jnp.int32), -1)
+    # Invalid lanes (gid -1: padding, dead blocks, the unvisited tail)
+    # get keys past every real gaussian so the live region after the
+    # sort is gaussian-major. Stability is NOT needed: the segment
+    # reduction matches keys by equality, so only grouping matters, not
+    # order within a group.
     key = jnp.where(gid_key >= 0, gid_key, n + slot)
     sorted_out = jax.lax.sort(
-        (key,) + tuple(dfrag[i] for i in range(9)), num_keys=1,
+        (key,)
+        + tuple(jnp.where(live_lanes, dfrag[i], 0.0) for i in range(9)),
+        num_keys=1,
         is_stable=False,
     )
     dg16 = jnp.concatenate(

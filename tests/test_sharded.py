@@ -39,10 +39,11 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("exchange", ["all_to_all", "all_gather"])
-def test_sharded_forward_matches_single_device(exchange):
+@pytest.mark.parametrize("exchange,n_dev",
+                         [("all_to_all", 8), ("all_gather", 4)])
+def test_sharded_forward_matches_single_device(exchange, n_dev):
     means, cov6, color, opac, sh = _scene(64)
-    mesh = make_mesh(8)
+    mesh = make_mesh(n_dev)
     shd = gaussian_sharding(mesh)
     args = [jax.device_put(x, shd) for x in (means, cov6, color, opac, sh)]
 
@@ -59,12 +60,15 @@ def test_sharded_forward_matches_single_device(exchange):
     )
 
 
-@pytest.mark.parametrize("exchange", ["all_to_all", "all_gather"])
-def test_sharded_gradients_match_single_device(exchange):
+@pytest.mark.parametrize("exchange,n_dev",
+                         [("all_to_all", 8), ("all_gather", 4)])
+def test_sharded_gradients_match_single_device(exchange, n_dev):
     """Gradient all-reduce path: sharded grads == single-device grads
-    (>= 80% of the multi-host acceptance is this correctness half)."""
+    (>= 80% of the multi-host acceptance is this correctness half).
+    Interpret-mode cost scales with mesh size, so only one exchange mode
+    runs at 8 devices; the other at 4 (same collective structure)."""
     means, cov6, color, opac, sh = _scene(32, seed=1)
-    mesh = make_mesh(8)
+    mesh = make_mesh(n_dev)
     shd = gaussian_sharding(mesh)
     args = [jax.device_put(x, shd) for x in (means, cov6, color, opac, sh)]
     target = jnp.asarray(
@@ -137,7 +141,7 @@ def test_sharded_transform_knobs_match_single_device():
     from wgpu_3dgs_core_tpu import GaussianDisplayMode
 
     means, cov6, color, opac, sh = _scene(48, seed=7)
-    mesh = make_mesh(8)
+    mesh = make_mesh(4)  # knob parity is mesh-size independent
     shd = gaussian_sharding(mesh)
     args = [jax.device_put(x, shd) for x in (means, cov6, color, opac, sh)]
     mt = (
@@ -170,7 +174,7 @@ def test_sharded_route_capacity_overflow_flagged():
     """A routing bucket smaller than the overlap count must flag overflow,
     never silently drop splats without saying so."""
     means, cov6, color, opac, _ = _scene(64, seed=8)
-    mesh = make_mesh(8)
+    mesh = make_mesh(4)
     shd = gaussian_sharding(mesh)
     args = [jax.device_put(x, shd) for x in (means, cov6, color, opac)]
     res = render_sharded(*args, CAM, mesh, background=BG, splat_skew=1e-6)

@@ -119,14 +119,14 @@ def _mk_kernel(level):
         win_buf[:, : GROUP * CHUNK] = lo_ref[...]
         win_buf[:, GROUP * CHUNK: 2 * GROUP * CHUNK] = hi_ref[...]
         if level == 0:
-            out_ref[0, 0] = win_buf[0, 0]
+            out_ref[0:1, :] = win_buf[0:1, :CHUNK]
             return
         frags = _carve(win_buf, off_ref, base)
         if level == 1:
             acc = functools.reduce(
-                jax.lax.add, [f[0:1, 0:1] for f in frags]
+                jax.lax.add, [f[0:1, :] for f in frags]
             )
-            out_ref[0, 0] = acc[0, 0]
+            out_ref[0:1, :] = acc
             return
         tri16 = _tri(CHUNK, True).astype(jnp.bfloat16)
         alphas = []

@@ -201,6 +201,13 @@ def bin_splats(
         tile, gid_unsorted = expand_fragments(
             tab_t, total, max_fragments, tiles_x, t_total
         )
+        # The expand kernel's live-bound grid (ops/expand.live_grid) never
+        # writes slots past the live count on hardware; mask that tail
+        # before it reaches the sort (unwritten memory can be NaN/garbage).
+        slot = jnp.arange(max_fragments, dtype=jnp.int32)
+        livem = slot < total
+        tile = jnp.where(livem, tile, t_total)
+        gid_unsorted = jnp.where(livem, gid_unsorted, 0)
     else:
         tile, gid_unsorted = _expand_xla(
             offsets, counts, span_x, x0, y0, gid_src, total,
@@ -292,6 +299,14 @@ def bin_splats_attrs(
         tile, _, fetched = expand_fragments_with_attrs(
             tab_t, attr_t, total, max_fragments, tiles_x, t_total
         )
+        # The expand kernel's live-bound grid (ops/expand.live_grid) never
+        # writes slots past the live count on hardware; mask that tail
+        # before it reaches the sort and the blend kernels (unwritten
+        # memory can be NaN, and 0-weight matmuls don't sanitize NaN).
+        slot = jnp.arange(max_fragments, dtype=jnp.int32)
+        livem = slot < total
+        tile = jnp.where(livem, tile, t_total)
+        fetched = jnp.where(livem[None, :], fetched, 0.0)
         depth_frag = fetched[0]
         payload_rows = [fetched[i] for i in range(1, 1 + a)]
         payload_rows.append(fetched[GID_ATTR_ROW])

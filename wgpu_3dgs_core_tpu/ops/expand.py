@@ -68,6 +68,20 @@ _F32_EXACT = float(1 << 24)
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def live_grid(total, n_blocks, k):
+    """Live-bound dynamic grid for F-capacity kernels on hardware.
+
+    Runs only the blocks holding live items (Mosaic dynamic grid bounds;
+    see ops/rasterize._grid_steps / CLAUDE.md). Callers MUST mask the
+    never-executed output tail XLA-side (unwritten memory can be NaN).
+    Interpret mode keeps the static capacity grid.
+    """
+    if interpret_mode():
+        return n_blocks
+    t = jnp.minimum(total.astype(jnp.int32), n_blocks * k)
+    return jnp.clip(jax.lax.div(t + k - 1, k), 1, n_blocks)
+
+
 def expand_math(b, total_ref, t0_ref, t1_ref, *, k: int, tiles_x: int):
     """Shared per-block expansion: owner lookup + (tile, gid) rows.
 
@@ -267,7 +281,7 @@ def expand_fragments(tab_t: jnp.ndarray, total: jnp.ndarray, f_cap: int,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_blocks,),
+        grid=(live_grid(total, n_blocks, k),),
         in_specs=[
             pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
             pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b] + 1)),
@@ -337,7 +351,7 @@ def expand_fragments_with_attrs(tab_t: jnp.ndarray, attr_t: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_blocks,),
+        grid=(live_grid(total, n_blocks, k),),
         in_specs=[
             pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
             pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b] + 1)),

@@ -350,8 +350,10 @@ def _fwd_kernel(
 
     @pl.when(work)
     def _():
+        # Pass 1 (branch-free, per block): carve + alpha.
+        frags = []
+        alphas = []
         for j in range(group):
-            first = firsts[j]
             frag = _load_block(win_buf, off_ref[base + j], chunk)
             valid = frag[TILE_ROW:TILE_ROW + 1, :] == tids[j].astype(
                 jnp.float32
@@ -359,19 +361,32 @@ def _fwd_kernel(
             alpha, _, _, _, _, _, _ = _chunk_alphas(
                 frag, valid, chunk, cutoff_sq, mode
             )
+            frags.append(frag)
+            alphas.append(alpha)
 
-            log1m = jnp.log1p(-alpha)
-            ecs = _cumsum_lanes(log1m, chunk, strict=True)
+        # Batched exclusive cumsum: the per-block cumsums share the same
+        # triangular RHS, so sublane-stacking the group's [PIX, K] blocks
+        # into one [group*PIX, K] operand turns 2*group MXU issues into 2
+        # (identical per-row results; sublane concat/slice is vreg-aligned
+        # and free of lane shuffles).
+        log1m_all = jnp.log1p(-jnp.concatenate(alphas, axis=0))
+        ecs_all = _cumsum_lanes(log1m_all, chunk, strict=True)
+
+        # Pass 2 (sequential, per block): transmittance chain + flush.
+        for j in range(group):
+            first = firsts[j]
+            log1m = log1m_all[j * PIX:(j + 1) * PIX]
+            ecs = ecs_all[j * PIX:(j + 1) * PIX]
 
             # Per-tile state reset folded into vector selects (no branch).
             t_run = jnp.where(first, 1.0, state_ref[:, 3:4])
             t_i = t_run * jnp.exp(ecs)  # [PIX, K]
             blend = t_i > T_MIN
-            wgt = jnp.where(blend, alpha * t_i, 0.0)
+            wgt = jnp.where(blend, alphas[j] * t_i, 0.0)
 
             # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
             # contraction instead of three VPU multiply+reduce passes.
-            c_rows = frag[5:8, :]  # [3, K]
+            c_rows = frags[j][5:8, :]  # [3, K]
             state_ref[:, 0:3] = jnp.where(
                 first, 0.0, state_ref[:, 0:3]
             ) + jax.lax.dot_general(

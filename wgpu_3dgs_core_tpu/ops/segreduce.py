@@ -241,9 +241,16 @@ def segment_sums_sorted(
     total32 = jnp.reshape(total.astype(jnp.int32), (1,))
     gid_mat = _gid_mat(gid_mono)
 
+    # Live-bound dynamic grid: blocks past the live prefix (keys sorted
+    # past every real gaussian) contribute nothing — skip them entirely on
+    # hardware. The final-step drain handles ANY last block, and the
+    # output is zero-initialized via aliasing, so never-flushed windows
+    # read as exact zeros either way.
+    from .expand import live_grid
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_blocks,),
+        grid=(live_grid(total, n_blocks, k),),
         in_specs=[
             pl.BlockSpec((GRAD_ROWS, k), lambda b, w0, tt: (0, b)),
             pl.BlockSpec((8, k), lambda b, w0, tt: (0, w0[b])),

@@ -46,11 +46,22 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 from wgpu_3dgs_core_tpu.ops.rasterize import (  # noqa: E402
     ATTR_ROWS,
     PIX,
+    TILE_SIZE,
     _load_block,
-    _pixel_basis,
     _tri,
     _window_specs,
 )
+
+
+def _pixel_basis(chunk):
+    # Historical [PIX, 6] monomial basis (kept here for the v3 MXU-vs-VPU
+    # probe after the kernels moved to direct VPU evaluation).
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (p % TILE_SIZE).astype(jnp.float32) + 0.5
+    py = (p // TILE_SIZE).astype(jnp.float32) + 0.5
+    return jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
+    )
 
 _HIGH = jax.lax.Precision.HIGHEST
 CHUNK = 128
@@ -163,7 +174,7 @@ def _mk_kernel(level):
                 jnp.sum(jnp.where(blend, log1m[j], 0.0), axis=1,
                         keepdims=True)
             )
-        out_ref[...] = state_ref[0:8, :]
+        out_ref[...] = jnp.broadcast_to(state_ref[0:8, 0:1], (8, CHUNK))
 
     return kernel
 

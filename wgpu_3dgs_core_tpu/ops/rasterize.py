@@ -105,14 +105,12 @@ FLAG_LAST = 1
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-def _pixel_basis(chunk):
-    """[PIX, 6] quadratic monomial basis at tile-local pixel centers."""
+def _pixel_coords():
+    """Tile-local pixel-center coordinate columns ([PIX, 1] each)."""
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     px = (p % TILE_SIZE).astype(jnp.float32) + 0.5  # tile-local
     py = (p // TILE_SIZE).astype(jnp.float32) + 0.5
-    return jnp.concatenate(
-        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
-    )
+    return px, py
 
 
 def _chunk_alphas(frag, valid, chunk, cutoff_sq=Q_CUTOFF, mode=0):
@@ -120,39 +118,29 @@ def _chunk_alphas(frag, valid, chunk, cutoff_sq=Q_CUTOFF, mode=0):
     [ATTR_ROWS, chunk] block with TILE-LOCAL x/y rows; ``valid`` the
     [1, chunk] lane-ownership mask (lane's tile-id row == block's tile).
     Returns per-fragment rows [1, K] and per-(pixel, fragment) [PIX, K]
-    arrays.
+    arrays (including the pixel deltas dx/dy, reused by the backward's
+    moment reductions).
     ``mode``: 0 splat (gaussian falloff), 1 ellipse (opaque boundary ring),
     2 point (treated as splat; projection substitutes an isotropic conic) —
     the GaussianDisplayMode analog (reference: gaussian_transform.rs:7-14).
 
-    The quadratic form q(px,py) is evaluated on the MXU: it is quadratic
-    in pixel coordinates with six per-fragment coefficients, so q for all
-    256 pixels is one [PIX,6] @ [6,K] contraction. Tile-local coordinates
-    keep the expansion well-conditioned (|x_local| is bounded by the splat
-    radius because fragments only exist in bbox-overlapping tiles).
+    The quadratic form is evaluated DIRECTLY on the VPU as
+    q = c0 dx^2 + 2 c1 dx dy + c2 dy^2 with dx/dy broadcast outer
+    differences — measured ~0.004 us/block vs ~0.24 us for the
+    [PIX,6]@[6,K] MXU basis contraction it replaces (the 6-deep
+    contraction pads to the MXU tile; tools/bench_kernel_variants.py
+    v2 vs v3). Direct evaluation is also better conditioned than the
+    expanded-polynomial form (no large-term cancellation).
     """
-    x_l = frag[0:1, :]
-    y_l = frag[1:2, :]
+    px, py = _pixel_coords()
+    dx = px - frag[0:1, :]  # [PIX, K]
+    dy = py - frag[1:2, :]
     c0 = frag[2:3, :]
     c1 = frag[3:4, :]
     c2 = frag[4:5, :]
     op = frag[8:9, :]
 
-    coef = jnp.concatenate(
-        [
-            c0 * x_l * x_l + 2.0 * c1 * x_l * y_l + c2 * y_l * y_l,
-            -2.0 * (c0 * x_l + c1 * y_l),
-            -2.0 * (c2 * y_l + c1 * x_l),
-            c0,
-            2.0 * c1,
-            c2,
-        ],
-        axis=0,
-    )  # [6, K]
-
-    basis = _pixel_basis(chunk)  # [PIX, 6]
-    q = jnp.dot(basis, coef, preferred_element_type=jnp.float32,
-                precision=_HIGH)
+    q = c0 * (dx * dx) + 2.0 * c1 * (dx * dy) + c2 * (dy * dy)
 
     if mode == 1:
         # Ellipse outline: opaque ring at the cutoff boundary (a deliberate
@@ -168,7 +156,18 @@ def _chunk_alphas(frag, valid, chunk, cutoff_sq=Q_CUTOFF, mode=0):
         alpha = jnp.minimum(alpha_raw, ALPHA_CLAMP)
         ok = valid & (q <= cutoff_sq) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
-    return alpha, alpha_raw, g_exp, ok, x_l, y_l, q
+    return alpha, alpha_raw, g_exp, ok, dx, dy, q
+
+
+def _lane_sum3(a, rows):
+    """[PIX, 1] x3: per-pixel lane reductions of a [PIX, K] array against
+    three [1, K] broadcast rows — the VPU replacement for a [PIX,K]@[K,3]
+    MXU contraction (output lanes pad to the MXU tile, ~0.25 us/block;
+    three multiplies + lane-tree reductions are ~0.03 us)."""
+    return [
+        jnp.sum(a * rows[ch:ch + 1, :], axis=1, keepdims=True)
+        for ch in range(3)
+    ]
 
 
 def _tri(chunk, strict):
@@ -384,15 +383,13 @@ def _fwd_kernel(
             blend = t_i > T_MIN
             wgt = jnp.where(blend, alphas[j] * t_i, 0.0)
 
-            # acc_ch += sum_k wgt * c_ch: one [PIX,K] x [K,3] MXU
-            # contraction instead of three VPU multiply+reduce passes.
-            c_rows = frags[j][5:8, :]  # [3, K]
+            # acc_ch += sum_k wgt * c_ch: VPU lane reductions (a [PIX,K]
+            # x [K,3] MXU contraction pads its 3 output lanes to the MXU
+            # tile — tools/bench_kernel_variants.py).
+            acc = _lane_sum3(wgt, frags[j][5:8, :])
             state_ref[:, 0:3] = jnp.where(
                 first, 0.0, state_ref[:, 0:3]
-            ) + jax.lax.dot_general(
-                wgt, c_rows, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HIGH,
-            )
+            ) + jnp.concatenate(acc, axis=1)
             state_ref[:, 3:4] = t_run * jnp.exp(
                 jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
                         keepdims=True)
@@ -558,7 +555,7 @@ def _bwd_kernel(
 
 def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
                     *, chunk, cutoff_sq, mode):
-    alpha, alpha_raw, g_exp, ok, x_l, y_l, _ = _chunk_alphas(
+    alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
         frag, valid, chunk, cutoff_sq, mode,
     )
     c0 = frag[2:3, :]
@@ -584,23 +581,30 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
     # channel triangular matmuls collapse into one:
     #   sum_ch g_ch S_ich = sum_ch g_ch (C_bl_ch - A_run_ch)
     #                       - cumsum_incl(wgt * u).
+    # u is a 3-term broadcast sum on the VPU: the [PIX,3]@[3,K] MXU form
+    # pads its 3-deep contraction to the MXU tile (~0.24 us/block,
+    # tools/bench_kernel_variants.py).
     one_minus = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
     g3 = state_ref[:, 6:9]  # [PIX, 3]
     c_rows = frag[5:8, :]  # [3, K]
-    u = jax.lax.dot_general(
-        g3, c_rows, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
+    u = (
+        g3[:, 0:1] * c_rows[0:1, :]
+        + g3[:, 1:2] * c_rows[1:2, :]
+        + g3[:, 2:3] * c_rows[2:3, :]
     )  # [PIX, K]
     g_cbl_a = jnp.sum(
         g3 * (state_ref[:, 9:12] - state_ref[:, 0:3]), axis=1, keepdims=True
     )  # [PIX, 1]
     gs_i = g_cbl_a - _cumsum_lanes(wgt * u, chunk, strict=False)
     dalpha = t_i * u - gs_i / one_minus - g_t_total * t_f / one_minus
-    # color gradient: dL/dc_ich = sum_pix g_ch w_i — one [3,PIX]x[PIX,K]
-    # MXU contraction.
-    d_color = jax.lax.dot_general(
-        g3, wgt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
+    # color gradient: dL/dc_ich = sum_pix g_ch w_i — three sublane-tree
+    # reductions (the [3,PIX]@[PIX,K] MXU form pads its 3 output rows).
+    d_color = jnp.concatenate(
+        [
+            jnp.sum(g3[:, ch:ch + 1] * wgt, axis=0, keepdims=True)
+            for ch in range(3)
+        ],
+        axis=0,
     )  # [3, K]
     dalpha = jnp.where(blend & ok, dalpha, 0.0)
 
@@ -609,33 +613,32 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
     dalpha = jnp.where(live_a, dalpha, 0.0)
 
     if mode != 1:
-        # Moment trick (backward half of the polynomial-q trick): q is
-        # linear in the six polynomial coefficients, so every per-pixel
-        # reduction collapses into M = basis^T @ d_q [6, K] — ONE MXU
-        # contraction — and the attribute gradients follow per fragment
-        # ([1, K] math) through coef(c0, c1, c2, x_l, y_l).
-        # d_op = sum_p dalpha * g_exp = (-2 / op) * sum_p d_q = -2 M_0 / op
+        # Moment reductions in the translated (dx, dy) basis: q is linear
+        # in (c0, c1, c2) and quadratic in the pixel deltas, so the six
+        # per-fragment gradients are sublane-tree reductions of d_q
+        # against {1, dx, dy, dx^2, dx dy, dy^2} on the VPU (the former
+        # [6,PIX]@[PIX,K] MXU moment contraction padded its 6 output
+        # rows; same math, translated basis).
+        # d_op = sum_p dalpha * g_exp = (-2 / op) * sum_p d_q = -2 S0 / op
         # (exact where op > 0; op == 0 implies dalpha == 0, so the guard
         # returns the true 0).
         d_q = (-0.5) * op * (dalpha * g_exp)  # [PIX, K]
-        m = jax.lax.dot_general(
-            _pixel_basis(chunk), d_q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HIGH,
-        )  # [6, K]
-        m0 = m[0:1, :]
-        m1 = m[1:2, :]
-        m2 = m[2:3, :]
-        d_op = jnp.where(op > 0.0, -2.0 * m0 / op, 0.0)
-        d_c0 = m0 * x_l * x_l - 2.0 * x_l * m1 + m[3:4, :]
-        d_c1 = (
-            2.0 * m0 * x_l * y_l - 2.0 * y_l * m1 - 2.0 * x_l * m2
-            + 2.0 * m[4:5, :]
-        )
-        d_c2 = m0 * y_l * y_l - 2.0 * y_l * m2 + m[5:6, :]
-        d_x = m0 * (2.0 * c0 * x_l + 2.0 * c1 * y_l) - 2.0 * c0 * m1 \
-            - 2.0 * c1 * m2
-        d_y = m0 * (2.0 * c1 * x_l + 2.0 * c2 * y_l) - 2.0 * c1 * m1 \
-            - 2.0 * c2 * m2
+
+        def _psum(x):
+            return jnp.sum(x, axis=0, keepdims=True)  # [1, K]
+
+        s0 = _psum(d_q)
+        d_qx = d_q * dx
+        d_qy = d_q * dy
+        sx = _psum(d_qx)
+        sy = _psum(d_qy)
+        d_op = jnp.where(op > 0.0, -2.0 * s0 / op, 0.0)
+        d_c0 = _psum(d_qx * dx)
+        d_c1 = 2.0 * _psum(d_qx * dy)
+        d_c2 = _psum(d_qy * dy)
+        # dx = px - x: d/dx q = -(2 c0 dx + 2 c1 dy), d/dy analogous.
+        d_x = -2.0 * (c0 * sx + c1 * sy)
+        d_y = -2.0 * (c1 * sx + c2 * sy)
     else:
         # Ellipse mode: alpha is flat inside the ring (g_exp == 1), so only
         # opacity receives gradient.
@@ -648,11 +651,8 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
          jnp.zeros((ATTR_ROWS - 10, chunk), jnp.float32)], axis=0
     )
 
-    # advance prefix accumulators
-    state_ref[:, 0:3] += jax.lax.dot_general(
-        wgt, c_rows, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
-    )
+    # advance prefix accumulators (VPU lane reductions, see _lane_sum3)
+    state_ref[:, 0:3] += jnp.concatenate(_lane_sum3(wgt, c_rows), axis=1)
     state_ref[:, 3:4] = t_run * jnp.exp(
         jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
     )

@@ -54,13 +54,17 @@ def main():
     parser.add_argument("--gaussians", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
-    # Capacity sized to the scene: the synthetic cloud measures ~2.6
-    # fragments/gaussian (elliptical bboxes), so 4.2M gives 1.6x headroom
-    # at 1M gaussians. Every fragment-scale op (sort, gathers) costs
-    # proportional to this STATIC capacity, not the live fragment count —
-    # oversizing it is pure overhead. Overflow is still checked every run.
-    parser.add_argument("--max-fragments", type=int, default=4_194_304)
-    parser.add_argument("--heavy-max-fragments", type=int, default=12_582_912)
+    # Capacity sized to the scene: the headline cloud measures exactly
+    # 2,928,682 live fragments (opacity-aware elliptical bboxes), the
+    # heavy scene 6,874,108 — so 3.28M / 8.4M give ~1.12x / 1.22x
+    # headroom at 1M gaussians. Every fragment-scale op (sort, masking,
+    # schedule) costs proportional to this STATIC capacity, not the live
+    # count — oversizing it is pure overhead (r4: 4.2M -> 3.28M saved
+    # ~10 ms/step of sort/mask work). Overflow is checked every run and
+    # reported in the JSON line; a production caller sizes this to its
+    # scene the same way.
+    parser.add_argument("--max-fragments", type=int, default=3_276_800)
+    parser.add_argument("--heavy-max-fragments", type=int, default=8_388_608)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--sh-deg", type=int, default=3)

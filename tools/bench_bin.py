@@ -135,7 +135,10 @@ def main():
     @jax.jit
     def p_sort(xy, extent, depth, mask, table):
         out, _ = upto_sort(xy, extent, depth, mask, table)
-        return out[0][::65536].sum() + out[5][::65536].sum()
+        # Force EVERY sort output: XLA's sort simplifier drops unused
+        # payload operands, which silently under-measured the payload-
+        # carrying cost by ~3x (round-4 finding).
+        return sum(c[::65536].sum().astype(jnp.float32) for c in out)
 
     @jax.jit
     def p_ranges(xy, extent, depth, mask, table):
@@ -153,7 +156,10 @@ def main():
         grp = chunk * 8
         f_pad = -(-(f_cap + t_total * chunk) // grp) * grp
         sc = pad_schedule(st, chunk, f_pad)
-        return sc.blk_tile[::4096].sum() + sc.live_blocks.sum()
+        # Force the payload columns too (see p_sort).
+        pay = sum(c[::65536].sum().astype(jnp.float32) for c in out)
+        return sc.blk_tile[::4096].sum().astype(jnp.float32) \
+            + sc.live_blocks.sum() + pay
 
     a = (xy, extent, depth, mask)
     timed("counts", p_counts, a, args.iters)

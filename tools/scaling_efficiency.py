@@ -95,6 +95,30 @@ def main():
     results["plain_1dev_ms"] = round(t_plain * 1e3, 1)
     print(f"plain render 1 dev: {t_plain*1e3:9.1f} ms", flush=True)
 
+    # Direct cost of the all_to_all send-buffer build (VERDICT r3 item 4:
+    # the O(D * N_local) per-destination compaction in _route_to_strips),
+    # measured as a plain function at D=8 / N_local=N/8 shapes on one
+    # device — no mesh needed.
+    from wgpu_3dgs_core_tpu.parallel.sharded import _route_to_strips
+
+    n_loc = args.gaussians // 8
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.random((n_loc, 13)), jnp.float32)
+    s0 = jnp.asarray(rng.integers(0, 8, n_loc), jnp.int32)
+    s1 = jnp.clip(s0 + jnp.asarray(rng.integers(0, 2, n_loc), jnp.int32),
+                  0, 7)
+    cap = max(128, int(n_loc * 2.0 / 8) // 128 * 128)
+
+    @jax.jit
+    def route(packed, s0, s1):
+        send, over = _route_to_strips(packed, s0, s1, 8, cap)
+        return send[:, ::64, 0].sum() + over
+
+    t_route = time_step(route, (packed, s0, s1), args.iters)
+    results["route_build_8dst_ms"] = round(t_route * 1e3, 2)
+    print(f"route_to_strips build (D=8, N_local={n_loc}, cap={cap}): "
+          f"{t_route*1e3:9.2f} ms", flush=True)
+
     sizes = [d for d in (1, 2, 4, 8) if d <= n_avail]
     t1 = None
     for d in sizes:

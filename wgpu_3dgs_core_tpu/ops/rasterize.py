@@ -584,7 +584,12 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
     # u is a 3-term broadcast sum on the VPU: the [PIX,3]@[3,K] MXU form
     # pads its 3-deep contraction to the MXU tile (~0.24 us/block,
     # tools/bench_kernel_variants.py).
+    # 1/(1-alpha) computed once per fragment ROW ([1, K]) and multiplied
+    # in: broadcast divides of [PIX, K] arrays are ~10x a multiply on the
+    # VPU; the reciprocal's ~1 ulp extra error is far inside the 1e-4
+    # normalized gradient bar.
     one_minus = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
+    inv_om = 1.0 / one_minus  # [1, K]
     g3 = state_ref[:, 6:9]  # [PIX, 3]
     c_rows = frag[5:8, :]  # [3, K]
     u = (
@@ -596,7 +601,7 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
         g3 * (state_ref[:, 9:12] - state_ref[:, 0:3]), axis=1, keepdims=True
     )  # [PIX, 1]
     gs_i = g_cbl_a - _cumsum_lanes(wgt * u, chunk, strict=False)
-    dalpha = t_i * u - gs_i / one_minus - g_t_total * t_f / one_minus
+    dalpha = t_i * u - (gs_i + g_t_total * t_f) * inv_om
     # color gradient: dL/dc_ich = sum_pix g_ch w_i — three sublane-tree
     # reductions (the [3,PIX]@[PIX,K] MXU form pads its 3 output rows).
     d_color = jnp.concatenate(

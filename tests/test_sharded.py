@@ -209,3 +209,17 @@ def test_route_to_strips_counts_and_order():
         got = np.asarray(send[dst])
         np.testing.assert_allclose(got[: len(sel)], np.asarray(packed)[sel])
         assert (got[len(sel):] == 0).all()
+
+
+def test_sharded_one_device_matches_single():
+    """D=1 sharding must be a near-no-op: the identity routing shortcut
+    keeps output parity with the plain renderer (and the hardware D=1
+    overhead evidence honest — tools/scaling_efficiency.py --tpu)."""
+    means, cov6, color, opac, _ = _scene(24, seed=9)
+    mesh = make_mesh(1)
+    res = render_sharded(means, cov6, color, opac, CAM, mesh, background=BG)
+    single = render(means, cov6, color, opac, CAM, background=BG)
+    np.testing.assert_allclose(
+        np.asarray(res.image), np.asarray(single.image), atol=1e-5, rtol=0
+    )
+    assert not bool(np.asarray(res.overflow))

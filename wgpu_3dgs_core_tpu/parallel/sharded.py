@@ -69,21 +69,74 @@ def _route_to_strips(packed, s0, s1, n_dev: int, cap: int):
     it the renderer's stable depth tie-break — survives the exchange).
     Returns (send, overflowed) where ``overflowed`` flags any destination
     whose overlap count exceeded ``cap`` (excess splats dropped).
+
+    Sort-based build (VERDICT r3 item 4): the old per-destination
+    vmapped cumsum/searchsorted/gather measured 41 ms at D=8 /
+    N_local=125K on hardware; this expands (splat, dst) slots into the
+    D*cap send capacity, sorts ONE small (dst, src)-keyed index stream,
+    and fills the buffer with a single row gather (~10x cheaper, same
+    source-order-within-destination semantics).
     """
     n_local = packed.shape[0]
+    if n_dev == 1:
+        # Routing to one strip is the identity: every live splat goes to
+        # device 0 (dead splats ride along with mask 0 and are culled by
+        # the binning). Keeps D=1 sharded within a few percent of the
+        # plain renderer instead of paying a pointless N-scale shuffle.
+        if cap >= n_local:
+            send = jnp.pad(packed, ((0, cap - n_local), (0, 0)))[None]
+            return send, jnp.asarray(False)
+        return packed[None, :cap], jnp.asarray(True)
+
+    r_cap = n_dev * cap  # total send capacity bounds the live slots
+
+    span = jnp.maximum(s1 - s0 + 1, 0)
+    offsets = jnp.cumsum(span) - span
+    total = offsets[-1] + span[-1]
+
+    # Owner of each expansion slot: scatter each live splat's index at its
+    # segment start, running-max forward (same idiom as binning).
+    start_idx = jnp.where(span > 0, offsets, r_cap)  # OOB -> dropped
+    starts = jnp.zeros(r_cap, jnp.int32).at[start_idx].max(
+        jnp.arange(1, n_local + 1, dtype=jnp.int32), mode="drop"
+    )
+    owner = jnp.clip(
+        jax.lax.associative_scan(jnp.maximum, starts) - 1, 0,
+        max(n_local - 1, 0),
+    )
+    slot = jnp.arange(r_cap, dtype=jnp.int32)
+    live = slot < jnp.minimum(total, r_cap)
+    dst = s0[owner] + (slot - offsets[owner])
+
+    # One key sort: (dst, source order). Live keys < (n_dev * n_local);
+    # dead slots sort last. Source order within a destination is the
+    # stable depth tie-break guarantee.
+    key = jnp.where(live, dst * n_local + owner, n_dev * n_local + slot)
+    key_sorted, owner_sorted = jax.lax.sort(
+        (key, owner), num_keys=1, is_stable=False,
+    )
+
+    dst_starts = jnp.searchsorted(
+        key_sorted, jnp.arange(n_dev, dtype=jnp.int32) * n_local,
+        side="left",
+    ).astype(jnp.int32)
+    dst_end = jnp.searchsorted(
+        key_sorted, jnp.arange(1, n_dev + 1, dtype=jnp.int32) * n_local,
+        side="left",
+    ).astype(jnp.int32)
+    counts = dst_end - dst_starts
+
     j = jnp.arange(cap, dtype=jnp.int32)
-
-    def one_dst(d):
-        sel = (s0 <= d) & (d <= s1)
-        csum = jnp.cumsum(sel.astype(jnp.int32))
-        count = csum[-1]
-        idx = jnp.searchsorted(csum, j + 1, side="left").astype(jnp.int32)
-        rows = packed[jnp.clip(idx, 0, n_local - 1)]
-        rows = jnp.where((j < count)[:, None], rows, 0.0)
-        return rows, count > cap
-
-    send, over = jax.vmap(one_dst)(jnp.arange(n_dev, dtype=jnp.int32))
-    return send, jnp.any(over)
+    pos = dst_starts[:, None] + j[None, :]  # [D, cap]
+    valid = j[None, :] < jnp.minimum(counts, cap)[:, None]
+    src = owner_sorted[jnp.clip(pos.reshape(-1), 0, r_cap - 1)]
+    rows = packed[src]  # ONE [D*cap, C] row gather
+    send = jnp.where(valid.reshape(-1)[:, None], rows, 0.0).reshape(
+        n_dev, cap, -1
+    )
+    # total > r_cap implies some destination exceeded cap (pigeonhole),
+    # so the truncated expansion is always surfaced.
+    return send, jnp.any(counts > cap) | (total > r_cap)
 
 
 def render_sharded(

@@ -53,7 +53,7 @@ def timed(label, fn, args, iters=8):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--gaussians", type=int, default=1_000_000)
-    p.add_argument("--max-fragments", type=int, default=4_194_304)
+    p.add_argument("--max-fragments", type=int, default=3_276_800)
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args()
     f_cap = args.max_fragments

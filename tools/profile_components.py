@@ -71,7 +71,7 @@ def main():
     p.add_argument("--gaussians", type=int, default=1_000_000)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--max-fragments", type=int, default=4_194_304)
+    p.add_argument("--max-fragments", type=int, default=3_276_800)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--sh-deg", type=int, default=3)
     p.add_argument("--chunk", type=int, default=None)

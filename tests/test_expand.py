@@ -81,46 +81,3 @@ def test_expand_strip_offset_parity():
     a = bin_splats(xy, extent, depth, mask, expand_impl="pallas", **kw)
     b = bin_splats(xy, extent, depth, mask, expand_impl="xla", **kw)
     _assert_streams_equal(a, b)
-
-
-@pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("n", [37, 1000])
-def test_counting_sort_matches_sort(seed, n):
-    xy, extent, depth, mask = _random_scene(n, seed)
-    kw = dict(tiles_x=40, tiles_y=30, max_fragments=65536)
-    a = bin_splats(xy, extent, depth, mask, sort_impl="counting", **kw)
-    b = bin_splats(xy, extent, depth, mask, sort_impl="sort", **kw)
-    assert int(a.num_fragments) > 0
-    _assert_streams_equal(a, b)
-    # counting path pins tile_id too (padding = t_total on both)
-    np.testing.assert_array_equal(
-        np.asarray(a.tile_id), np.asarray(b.tile_id)
-    )
-
-
-def test_counting_sort_overflow_flagged():
-    xy, extent, depth, mask = _random_scene(500, 7)
-    kw = dict(tiles_x=40, tiles_y=30, max_fragments=4096)
-    a = bin_splats(xy, extent, depth, mask, sort_impl="counting", **kw)
-    assert bool(a.overflow)
-    # ranges stay within capacity so the rasterizer never reads OOB
-    assert int(np.asarray(a.tile_end).max()) <= 4096
-    assert int(np.asarray(a.tile_start).max()) <= 4096
-
-
-def test_counting_sort_all_culled():
-    xy, extent, depth, mask = _random_scene(64, 3)
-    mask = jnp.zeros_like(mask)
-    kw = dict(tiles_x=40, tiles_y=30, max_fragments=4096)
-    a = bin_splats(xy, extent, depth, mask, sort_impl="counting", **kw)
-    b = bin_splats(xy, extent, depth, mask, sort_impl="sort", **kw)
-    assert int(a.num_fragments) == 0
-    _assert_streams_equal(a, b)
-
-
-def test_counting_sort_strip_offset():
-    xy, extent, depth, mask = _random_scene(800, 11)
-    kw = dict(tiles_x=40, tiles_y=8, max_fragments=65536, tile_y_offset=2)
-    a = bin_splats(xy, extent, depth, mask, sort_impl="counting", **kw)
-    b = bin_splats(xy, extent, depth, mask, sort_impl="sort", **kw)
-    _assert_streams_equal(a, b)

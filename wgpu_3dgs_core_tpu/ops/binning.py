@@ -21,18 +21,12 @@ Capacity overflow is detected and returned, never silent (SURVEY.md §7.3).
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 TILE_SIZE = 16
-
-# Default tile-grouping implementation ("sort" = stable lax.sort,
-# "counting" = Pallas counting sort, ops/place.py); overridable per call
-# or via the environment for A/B benchmarking on hardware.
-DEFAULT_SORT_IMPL = os.environ.get("GS_TPU_SORT_IMPL", "sort")
 
 
 class FragmentStream(NamedTuple):
@@ -109,7 +103,6 @@ def bin_splats(
     max_fragments: int,
     tile_y_offset=0,
     expand_impl: str = "pallas",
-    sort_impl: str | None = None,
 ) -> FragmentStream:
     """Expand gaussians into a (tile, depth)-sorted fragment stream.
 
@@ -117,29 +110,11 @@ def bin_splats(
     that global tile row (local tile ids), for strip-parallel rendering.
     ``expand_impl``: "pallas" (one-hot MXU window kernel, ops/expand.py) or
     "xla" (scan + fragment-scale gather) — identical outputs.
-    ``sort_impl``: "sort" (stable lax.sort by tile) or "counting"
-    (sequential Pallas counting-sort + one scatter, ops/place.py) —
-    identical streams whenever the capacity holds; under overflow the
-    counting path leaves flagged holes instead of a truncated prefix.
     """
-    if sort_impl is None:
-        sort_impl = DEFAULT_SORT_IMPL
     n = xy.shape[0]
     t_total = tiles_x * tiles_y
     depth_key = jnp.where(mask, depth, jnp.inf)  # original gaussian order
-
-    if sort_impl == "counting":
-        # The counting-sort path relies on depth-presorted expansion order
-        # (placement preserves it); the default path sorts fragments by a
-        # (tile, depth) 2-key instead, so no N-scale argsort replicates
-        # across devices in the sharded renderer.
-        depth_order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
-        xy = xy[depth_order]
-        extent = extent[depth_order]
-        mask = mask[depth_order]
-        gid_src = depth_order
-    else:
-        gid_src = jnp.arange(n, dtype=jnp.int32)
+    gid_src = jnp.arange(n, dtype=jnp.int32)
 
     x0, y0, x1, y1 = tile_bounds(xy, extent, tiles_x, tiles_y, tile_y_offset)
     span_x = jnp.maximum(x1 - x0, 0)
@@ -152,45 +127,6 @@ def bin_splats(
     overflow = total > max_fragments
 
     from .expand import EXPAND_BLOCK
-
-    if sort_impl == "counting" and max_fragments % EXPAND_BLOCK == 0:
-        from .expand import build_segment_table
-        from .place import place_fragments, tile_histogram
-
-        hist = tile_histogram(x0, y0, x1, y1, counts > 0, tiles_x, tiles_y)
-        tile_start = (jnp.cumsum(hist) - hist).astype(jnp.int32)
-        tab_t = build_segment_table(
-            offsets, counts, span_x, x0, y0, gid_src
-        )
-        dst, gid_gm, tile_gm = place_fragments(
-            tab_t, total, tile_start, max_fragments, tiles_x, t_total
-        )
-        init = jnp.concatenate(
-            [
-                jnp.zeros((max_fragments, 1), jnp.int32),
-                jnp.full((max_fragments, 1), t_total, jnp.int32),
-            ],
-            axis=1,
-        )
-        pairs = init.at[dst].set(
-            jnp.stack([gid_gm, tile_gm], axis=1),
-            mode="drop", unique_indices=True,
-        )
-        # Overflow leaves tile ranges past capacity; clamp so the work
-        # schedule never points the rasterizer at out-of-range blocks.
-        tile_end = jnp.minimum(
-            (tile_start + hist).astype(jnp.int32), max_fragments
-        )
-        return FragmentStream(
-            gauss_id=pairs[:, 0],
-            tile_id=pairs[:, 1],
-            num_fragments=jnp.minimum(total, max_fragments).astype(
-                jnp.int32
-            ),
-            overflow=overflow,
-            tile_start=jnp.minimum(tile_start, max_fragments),
-            tile_end=tile_end,
-        )
 
     if expand_impl == "pallas" and max_fragments % EXPAND_BLOCK == 0:
         from .expand import build_segment_table, expand_fragments

@@ -86,8 +86,7 @@ def expand_math(b, total_ref, t0_ref, t1_ref, *, k: int, tiles_x: int):
     """Shared per-block expansion: owner lookup + (tile, gid) rows.
 
     Returns f32 rows ``tile`` [1, K] (exact integers), ``gid`` [1, K], and
-    bool ``valid`` [1, K]. Used by both the expansion and the placement
-    kernels.
+    bool ``valid`` [1, K].
     """
     win = jnp.concatenate([t0_ref[...], t1_ref[...]], axis=1)  # [8, 2K]
     off = win[ROW_OFF_HI : ROW_OFF_HI + 1, :] * _SPLIT + (

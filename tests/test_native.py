@@ -109,3 +109,83 @@ def test_full_file_roundtrip_native_matches_numpy(monkeypatch, tmp_path):
     monkeypatch.setattr(spz_mod._native, "get_lib", lambda: None)
     spz_numpy = soa.to_spz()
     assert spz_native == spz_numpy
+
+
+# --- loader branch coverage (VERDICT r4 weak #6) ---------------------------
+
+
+@pytest.fixture
+def fresh_loader(monkeypatch):
+    """Reset the module-level load cache around each loader test."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    yield
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+
+
+def test_loader_disabled_by_env(fresh_loader, monkeypatch):
+    monkeypatch.setenv("GS3D_DISABLE_NATIVE", "1")
+    assert native.get_lib() is None
+    assert not native.available()
+
+
+def test_loader_build_failure_falls_back(fresh_loader, monkeypatch, tmp_path):
+    # Missing library AND missing build script -> numpy fallback.
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "absent.so"))
+    monkeypatch.setattr(native, "_CSRC", str(tmp_path))
+    assert native._build() is False
+    assert native.get_lib() is None
+
+
+def test_loader_broken_build_script(fresh_loader, monkeypatch, tmp_path):
+    # A build script that fails (nonzero exit) is swallowed -> fallback.
+    script = tmp_path / "build.sh"
+    script.write_text("exit 3\n")
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "absent.so"))
+    monkeypatch.setattr(native, "_CSRC", str(tmp_path))
+    assert native._build() is False
+    assert native.get_lib() is None
+
+
+def test_loader_corrupt_library(fresh_loader, monkeypatch, tmp_path):
+    # A present-but-unloadable .so raises OSError inside CDLL -> fallback.
+    bad = tmp_path / "libspz_codec.so"
+    bad.write_bytes(b"not an elf file")
+    monkeypatch.setattr(native, "_LIB_PATH", str(bad))
+    assert native.get_lib() is None
+
+
+def test_loader_abi_mismatch(fresh_loader, monkeypatch):
+    # A library reporting the wrong ABI version is rejected.
+    class FakeFn:
+        restype = None
+        argtypes = None
+
+        def __call__(self):
+            return 999
+
+    class FakeLib:
+        def __getattr__(self, name):
+            return FakeFn()
+
+    monkeypatch.setattr(native.ctypes, "CDLL", lambda path: FakeLib())
+    monkeypatch.setattr(native.os.path, "exists", lambda p: True)
+    assert native.get_lib() is None
+
+
+def test_loader_caches_result(fresh_loader, monkeypatch):
+    calls = []
+    monkeypatch.setenv("GS3D_DISABLE_NATIVE", "1")
+    orig = native.os.path.exists
+
+    def counting(p):
+        calls.append(p)
+        return orig(p)
+
+    monkeypatch.setattr(native.os.path, "exists", counting)
+    assert native.get_lib() is None
+    n_calls = len(calls)
+    # Second call short-circuits on the _tried flag (no new stat calls).
+    assert native.get_lib() is None
+    assert len(calls) == n_calls

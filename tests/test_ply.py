@@ -170,6 +170,24 @@ def test_ply_binary_list_property_truncated_errors():
         PlyGaussians.read_from(buf)
 
 
+def test_ply_binary_list_negative_count_errors():
+    """A corrupt signed list count must raise, not walk ``off`` backward
+    and silently misparse the rest of the body (ADVICE r4)."""
+    buf = io.BytesIO()
+    buf.write(b"ply\nformat binary_little_endian 1.0\n")
+    buf.write(b"element vertex 2\n")
+    buf.write(b"property float x\n")
+    buf.write(b"property list int int vertex_indices\n")
+    buf.write(b"end_header\n")
+    buf.write(np.float32(1.0).tobytes())
+    buf.write(np.int32(-7).tobytes())  # negative count
+    buf.write(np.float32(2.0).tobytes())
+    buf.write(np.int32(0).tobytes())
+    buf.seek(0)
+    with pytest.raises(IOError, match="negative PLY list count"):
+        PlyGaussians.read_from(buf)
+
+
 def test_ply_ascii_list_property_skipped():
     ply = gaussians_soa().to_ply()
     n = len(ply)

@@ -5,7 +5,7 @@ Incremental probes over precomputed projection outputs (1M gaussians,
   counts    bbox/count/cumsum arithmetic (N-scale)
   tables    + segment/attr table compaction scatters
   expand    + the fused one-hot expansion kernel
-  sort      + the 12-way (tile, depth) payload sort
+  sort      + the 11-column 1-key tile payload sort (depth-presorted)
   ranges    + searchsorted tile ranges + pad_schedule + window coords
 """
 
@@ -101,9 +101,9 @@ def main():
             xy, extent, depth, mask)
         gid_src = jnp.arange(n, dtype=jnp.int32)
         tab, attr = build_tables(
-            offsets, counts, span_x, x0, y0, gid_src,
-            jnp.concatenate([depth_key[None], table], axis=0))
-        return tab[:, ::4096].sum() + attr[:, ::4096].sum()
+            counts, span_x, x0, y0, gid_src, table, depth_key)
+        return tab[:, ::4096].astype(jnp.float32).sum() \
+            + attr[:, ::4096].astype(jnp.float32).sum()
 
     @jax.jit
     def p_expand(xy, extent, depth, mask, table):
@@ -111,10 +111,16 @@ def main():
             xy, extent, depth, mask)
         gid_src = jnp.arange(n, dtype=jnp.int32)
         tab, attr = build_tables(
-            offsets, counts, span_x, x0, y0, gid_src,
-            jnp.concatenate([depth_key[None], table], axis=0))
+            counts, span_x, x0, y0, gid_src, table, depth_key)
         tile, gid, fetched = expand_fragments_with_attrs(
             tab, attr, total, f_cap, tiles_x, t_total)
+        # Live-tail mask, exactly as ops/binning.bin_splats_attrs: the
+        # live-bound grid leaves slots past ``total`` unwritten on
+        # hardware (ADVICE r4: probes must not time garbage keys).
+        slot = jnp.arange(f_cap, dtype=jnp.int32)
+        livem = slot < total
+        tile = jnp.where(livem, tile, t_total)
+        fetched = jnp.where(livem[None, :], fetched, 0.0)
         return tile[::65536].sum() + fetched[:, ::65536].sum()
 
     def upto_sort(xy, extent, depth, mask, table):
@@ -122,14 +128,18 @@ def main():
             xy, extent, depth, mask)
         gid_src = jnp.arange(n, dtype=jnp.int32)
         tab, attr = build_tables(
-            offsets, counts, span_x, x0, y0, gid_src,
-            jnp.concatenate([depth_key[None], table], axis=0))
+            counts, span_x, x0, y0, gid_src, table, depth_key)
         tile, gid, fetched = expand_fragments_with_attrs(
             tab, attr, total, f_cap, tiles_x, t_total)
-        exp_iota = jnp.arange(f_cap, dtype=jnp.int32)
-        payloads = [fetched[i] for i in range(1, 10)]
-        out = jax.lax.sort((tile, fetched[0], gid, exp_iota, *payloads),
-                           num_keys=2, is_stable=True)
+        # Live-tail mask, exactly as ops/binning.bin_splats_attrs: the
+        # live-bound grid leaves slots past ``total`` unwritten on
+        # hardware (ADVICE r4: probes must not time garbage keys).
+        slot = jnp.arange(f_cap, dtype=jnp.int32)
+        livem = slot < total
+        tile = jnp.where(livem, tile, t_total)
+        fetched = jnp.where(livem[None, :], fetched, 0.0)
+        payloads = [fetched[i] for i in range(10)]  # 9 attrs + gid row
+        out = jax.lax.sort((tile, *payloads), num_keys=1, is_stable=True)
         return out, total
 
     @jax.jit
@@ -148,7 +158,7 @@ def main():
         ts = jnp.searchsorted(tile_sorted, tile_ids, side="left")
         te = jnp.searchsorted(tile_sorted, tile_ids, side="right")
         st = binning.FragmentStream(
-            gauss_id=out[2], tile_id=tile_sorted,
+            gauss_id=out[10].astype(jnp.int32), tile_id=tile_sorted,
             num_fragments=jnp.minimum(total, f_cap).astype(jnp.int32),
             overflow=total > f_cap,
             tile_start=ts.astype(jnp.int32), tile_end=te.astype(jnp.int32),

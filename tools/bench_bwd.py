@@ -111,7 +111,7 @@ def newtail():
     rng = np.random.default_rng(0)
     from wgpu_3dgs_core_tpu.ops.expand import build_segment_table
     from wgpu_3dgs_core_tpu.ops.segreduce import (
-        gid_column, segment_sums_sorted, uncompact_columns,
+        gid_column_sorted, segment_sums_sorted, uncompact_columns,
     )
 
     d16 = jnp.asarray(rng.normal(size=(16, f_pad)).astype(np.float32))
@@ -137,8 +137,9 @@ def newtail():
             [jnp.stack(so[1:], axis=0),
              so[0].astype(jnp.float32)[None, :],
              jnp.zeros((6, f_pad), jnp.float32)], axis=0)
-        n_live = jnp.sum(tab_t[2] > 0).astype(jnp.int32)
-        gid_mono = gid_column(tab_t, n_live)
+        from wgpu_3dgs_core_tpu.ops.expand import table_counts
+        n_live = jnp.sum(table_counts(tab_t) > 0).astype(jnp.int32)
+        gid_mono = gid_column_sorted(tab_t, n_live)
         d_comp = segment_sums_sorted(dg16, gid_mono, total)
         d_full = uncompact_columns(d_comp, gid_mono, n)
         return d_full[:, ::4096].sum()

@@ -8,14 +8,19 @@ overhead. This tool times stripped-down kernels over the SAME grid and
 window inputs, each adding one ingredient, so consecutive deltas
 attribute the cost.
 
-Variants (cumulative):
-  v0_dma        windows staged to VMEM only (pipeline + staging floor)
-  v1_carve      + 8 dynamic-rotate block carves
-  v2_alpha_vpu  + alpha via VPU polynomial evaluation (no q matmul)
-  v3_alpha_mxu  alpha via the [256,6]@[6,K] MXU basis matmul instead
-  v4_cumsum     + per-block 2-pass bf16 cumsum tri-matmuls
-  v5_cumsum_b   batched cumsum: one [2048,128] sublane-stacked tri-matmul
-  v6_full       + exp/T update + color-accumulate matmul (full fwd math)
+Variants (cumulative; 4+ use the production VPU q):
+  v0_dma          windows staged to VMEM only (pipeline + staging floor)
+  v1_carve        + 8 dynamic-rotate block carves
+  v2_alpha_vpu    + alpha via VPU polynomial evaluation (no q matmul)
+  v3_alpha_mxu    alpha via the [256,6]@[6,K] MXU basis matmul instead
+  v4_cumsum       + per-block 2-pass bf16 cumsum tri-matmuls
+  v5_cumsum_b     batched cumsum: one sublane-stacked tri-matmul
+  v6_full_mxuacc  + exp/T update, historical MXU color-accumulate
+  v7_full_vpu     production mirror (VPU lane-sum3 color accumulate)
+  v8_notrans      v7 with exp/log1p replaced by same-shape arithmetic
+                  (delta 7-8 = the transcendental chain's true cost)
+  v9_nosum        v7 with lane reductions replaced by slices
+                  (delta 7-9 = the per-pixel lane-tree reduction cost)
 
 Usage: python tools/bench_kernel_variants.py [--blocks 40960] [--iters 20]
 """
@@ -142,13 +147,22 @@ def _mk_kernel(level):
         tri16 = _tri(CHUNK, True).astype(jnp.bfloat16)
         alphas = []
         for f in frags:
-            q = _q_vpu(f) if level == 2 else _q_mxu(f)
-            alphas.append(_alpha(f, q))
+            q = _q_mxu(f) if level == 3 else _q_vpu(f)
+            if level == 8:
+                op = f[8:9, :]
+                a = jnp.minimum(op * (1.0 - 0.5 * q), 0.99)
+                a = jnp.where((q <= 9.0) & (a >= 1.0 / 255.0), a, 0.0)
+                alphas.append(a)
+            else:
+                alphas.append(_alpha(f, q))
         if level in (2, 3):
             acc = functools.reduce(jax.lax.add, alphas)
             out_ref[...] = acc[0:8, :]
             return
-        log1m = [jnp.log1p(-a) for a in alphas]
+        if level == 8:
+            log1m = [-a for a in alphas]
+        else:
+            log1m = [jnp.log1p(-a) for a in alphas]
         if level == 4:
             ecs = [_tri_dot2(x, tri16) for x in log1m]
         else:
@@ -159,21 +173,53 @@ def _mk_kernel(level):
             acc = functools.reduce(jax.lax.add, ecs)
             out_ref[...] = acc[0:8, :]
             return
-        # level 6: full fwd math minus flush DMAs
+        # levels 6-9: full fwd math minus flush DMAs.
+        #   6: historical MXU color-accumulate form (kept for deltas)
+        #   7: production mirror — VPU lane-sum3 color accumulate
+        #   8: production minus transcendentals (exp/log1p -> cheap
+        #      arithmetic of the same shape) — the delta 7-8 prices the
+        #      transcendental chain
+        #   9: production minus the lane reductions (slices keep shapes)
+        #      — the delta 7-9 prices the per-pixel lane-tree sums
         for j in range(GROUP):
             t_run = state_ref[:, 3:4]
-            t_i = t_run * jnp.exp(ecs[j])
+            if level == 8:
+                t_i = t_run * (1.0 + 0.5 * ecs[j])
+            else:
+                t_i = t_run * jnp.exp(ecs[j])
             blend = t_i > 1e-4
             wgt = jnp.where(blend, alphas[j] * t_i, 0.0)
             c_rows = frags[j][5:8, :]
-            state_ref[:, 0:3] += jax.lax.dot_general(
-                wgt, c_rows, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HIGH,
-            )
-            state_ref[:, 3:4] = t_run * jnp.exp(
-                jnp.sum(jnp.where(blend, log1m[j], 0.0), axis=1,
-                        keepdims=True)
-            )
+            if level == 6:
+                state_ref[:, 0:3] += jax.lax.dot_general(
+                    wgt, c_rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HIGH,
+                )
+            elif level == 9:
+                state_ref[:, 0:3] += jnp.concatenate(
+                    [(wgt * c_rows[ch:ch + 1, :])[:, 0:1] for ch in range(3)],
+                    axis=1,
+                )
+            else:
+                state_ref[:, 0:3] += jnp.concatenate(
+                    [
+                        jnp.sum(wgt * c_rows[ch:ch + 1, :], axis=1,
+                                keepdims=True)
+                        for ch in range(3)
+                    ],
+                    axis=1,
+                )
+            masked = jnp.where(blend, log1m[j], 0.0)
+            if level == 9:
+                state_ref[:, 3:4] = t_run * jnp.exp(masked[:, 0:1])
+            elif level == 8:
+                state_ref[:, 3:4] = t_run * (
+                    1.0 + jnp.sum(masked, axis=1, keepdims=True)
+                )
+            else:
+                state_ref[:, 3:4] = t_run * jnp.exp(
+                    jnp.sum(masked, axis=1, keepdims=True)
+                )
         out_ref[...] = jnp.broadcast_to(state_ref[0:8, 0:1], (8, CHUNK))
 
     return kernel
@@ -225,7 +271,8 @@ def main():
     fl = jnp.asarray(fl)
 
     names = ["v0_dma", "v1_carve", "v2_alpha_vpu", "v3_alpha_mxu",
-             "v4_cumsum", "v5_cumsum_b", "v6_full"]
+             "v4_cumsum", "v5_cumsum_b", "v6_full_mxuacc",
+             "v7_full_vpu", "v8_notrans", "v9_nosum"]
     results = {"blocks": b_cap}
     prev = None
     for level, name in enumerate(names):

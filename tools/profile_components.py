@@ -108,7 +108,7 @@ def main():
         table = jnp.concatenate(
             [spl.xy, spl.conic, color, (opac * spl.mask)[:, None]], axis=1
         )
-        st, attrs, _, _, _ = bin_splats_attrs(
+        st, attrs, _ = bin_splats_attrs(
             spl.xy, spl.extent, spl.depth, spl.mask, table.T,
             tiles_x, tiles_y, f_cap,
         )

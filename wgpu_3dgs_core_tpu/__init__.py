@@ -38,6 +38,7 @@ from .render import (  # noqa: F401
     Camera,
     RenderResult,
     TrainableGaussians,
+    measure_max_fragments,
     fit,
     make_train_step,
     render,

@@ -75,6 +75,13 @@ class GaussianSoA:
             scale=self.scale[idx],
         )
 
+    def at(self, i: int) -> "GaussianSoA":
+        """One-gaussian slice — the per-item accessor that code porting
+        from the reference's ``IterGaussian``/``ReadIterGaussian`` traits
+        (reference: src/gaussian.rs:12-47) lands on. Batch over the SoA
+        arrays instead of looping this in hot paths."""
+        return self[i]
+
     @classmethod
     def zeros(cls, n: int) -> "GaussianSoA":
         return cls(

@@ -282,6 +282,13 @@ def _read_custom_binary_with_lists(reader: BinaryIO, vertex: PlyElement,
                 else:
                     _, cnt_dt, item_size = entry
                     n_items = int(np.frombuffer(buf, cnt_dt, 1, off)[0])
+                    if n_items < 0:
+                        # A corrupt signed count would move ``off``
+                        # BACKWARD and silently misparse the rest of the
+                        # body (the final bounds check never fires).
+                        raise IOError(
+                            "negative PLY list count (corrupt body)"
+                        )
                     off += cnt_dt.itemsize + n_items * item_size
     except ValueError as e:  # frombuffer past the end of the body
         raise IOError("unexpected EOF reading PLY body") from e

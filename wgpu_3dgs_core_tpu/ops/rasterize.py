@@ -477,26 +477,22 @@ def _bwd_kernel(
         def _():
             start_tile_dma(flags_ref[0] >> 2)
 
-    # Dead/skipped blocks must still produce zero gradients; the per-block
-    # gid writes below tag every lane (live: its gaussian id, padding/
-    # dead: -1 via the validity mask) so the caller's segment reduction
-    # never misattributes. The automatic out pipeline stores this block
-    # every step.
-    dfrag_ref[...] = jnp.zeros_like(dfrag_ref)
-
     tids, firsts, lasts = _block_flags(flags_ref, base, group)
     any_first = functools.reduce(jnp.logical_or, firsts)
 
     # Unconditional per-block prologue (branch-free except the rare
-    # prefetch-issue DMA): carve the block, tag the gid key row, and keep
-    # the carved values for the gated math below. The gid key row MUST be
-    # written for every LIVE fragment even when the saturation early-out
-    # skips the math: a missing gid would surface as a zero-gradient
-    # no-key lane, which is exactly what -1 marks — but a LIVE lane's
-    # key must land so its (exactly-zero) gradient rows stay attributed
+    # prefetch-issue DMA): carve the block and keep the carved values for
+    # the gated math below. The gid key row MUST land for every LIVE
+    # fragment even when the saturation early-out skips the math: a
+    # missing gid would surface as a zero-gradient no-key lane, which is
+    # exactly what -1 marks — but a LIVE lane's key must stay attributed
     # to the right gaussian. Saturation makes the gradient ROWS exactly
     # zero (T <= T_MIN => blend == False => wgt = dalpha = 0), so
-    # skipping the body is exact; only the key must land unconditionally.
+    # skipping the body is exact. The work path's block body writes all
+    # 16 output rows itself (including the gid row), so only the skipped
+    # path pays a separate zero+gid store — one output pass per block
+    # either way instead of the former unconditional zero-init + gid
+    # prologue (round-5 kernel item: merged gid-write pass).
     frags = []
     valids = []
     gid_rows = []
@@ -505,7 +501,6 @@ def _bwd_kernel(
         frag = _load_block(win_buf, off_ref[b], chunk)
         valid = frag[TILE_ROW:TILE_ROW + 1, :] == tids[j].astype(jnp.float32)
         gid_row = jnp.where(valid, frag[GID_ROW:GID_ROW + 1, :], -1.0)
-        dfrag_ref[GID_ROW:GID_ROW + 1, j * chunk:(j + 1) * chunk] = gid_row
         frags.append(frag)
         valids.append(valid)
         gid_rows.append(gid_row)
@@ -521,6 +516,19 @@ def _bwd_kernel(
             start_tile_dma(nxt >> 2)
 
     work = any_first | (jnp.max(state_ref[:, 3]) > T_MIN)
+
+    @pl.when(jnp.logical_not(work))
+    def _():
+        # Skipped group: zero gradients, gid keys only.
+        zero_pre = jnp.zeros((GID_ROW, chunk), jnp.float32)
+        zero_post = jnp.zeros((ATTR_ROWS - GID_ROW - 1, chunk), jnp.float32)
+        dfrag_ref[...] = jnp.concatenate(
+            [
+                jnp.concatenate([zero_pre, gid_rows[j], zero_post], axis=0)
+                for j in range(group)
+            ],
+            axis=1,
+        )
 
     @pl.when(work)
     def _():

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .expand import EXPAND_BLOCK, ROW_GID_HI, ROW_GID_LO, _F32_EXACT, _SPLIT
+from .expand import EXPAND_BLOCK, _F32_EXACT, table_gids
 from .kernel_bundle import interpret_mode
 
 # One grid step reduces this many sorted fragments. Reuses the expand
@@ -135,6 +135,13 @@ def _segsum_kernel(w0_ref, total_ref, dg_ref, g0_ref, g1_ref, out_hbm,
     @pl.when(b * k < total_ref[0])
     def _():
         dg = dg_ref[...]  # [16, K]
+        # NaN scrub: lanes past the rasterizer's live blocks are never
+        # written (dynamic grid) and may hold NaN. Their keys sort past
+        # every live fragment, so at most the last processed block sees
+        # them; their one-hot row is all-zero, but NaN * 0 = NaN — scrub
+        # here (free VPU select) instead of 10 XLA-side masking passes
+        # over the full F_pad stream (round-5 backward-chain cut).
+        dg = jnp.where(dg == dg, dg, 0.0)
         key_row = dg[9:10, :]  # [1, K] sorted gid keys (f32-exact ints)
         gid_win = jnp.concatenate([g0_ref[0:1, :], g1_ref[0:1, :]],
                                   axis=1)  # [1, 2K]
@@ -191,15 +198,29 @@ def _uncompact_kernel(w0_ref, n_ref, d0_ref, d1_ref, g0_ref, g1_ref,
 
 
 def gid_column(tab_t: jnp.ndarray, n_live: jnp.ndarray) -> jnp.ndarray:
-    """Monotone compacted gid column from the expand segment table.
+    """Monotone compacted gid column from an ORIGINAL-ORDER segment table.
 
     Rows past ``n_live`` (zero-fragment gaussians + padding) are rewritten
     to 2^24 so the column is globally nondecreasing (live gids keep their
-    original ascending order through the stable compaction).
+    original ascending order through the stable compaction). For the
+    production DEPTH-ordered table use :func:`gid_column_sorted`.
     """
-    gid = tab_t[ROW_GID_HI] * _SPLIT + tab_t[ROW_GID_LO]
+    gid = table_gids(tab_t)
     live = jnp.arange(gid.shape[0], dtype=jnp.int32) < n_live
     return jnp.where(live, gid, _F32_EXACT)
+
+
+def gid_column_sorted(tab_t: jnp.ndarray, n_live: jnp.ndarray) -> jnp.ndarray:
+    """Monotone gid column from a DEPTH-ordered segment table.
+
+    The depth-ordered compaction (ops/expand.build_tables) leaves live
+    gids in depth order, so one N-scale 1-column sort restores the
+    ascending-gid order the window reduction needs (~1 ms at N=1M —
+    vs the F-scale alternatives this keeps everything N-scale).
+    """
+    gid = table_gids(tab_t)
+    live = jnp.arange(gid.shape[0], dtype=jnp.int32) < n_live
+    return jnp.sort(jnp.where(live, gid, _F32_EXACT))
 
 
 def _gid_mat(gid_mono):

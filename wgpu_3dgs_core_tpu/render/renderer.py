@@ -39,7 +39,7 @@ from ..ops.rasterize import (
     tiles_to_image,
 )
 from ..ops.segreduce import (
-    gid_column,
+    gid_column_sorted,
     segment_sums_sorted,
     uncompact_columns,
 )
@@ -104,6 +104,45 @@ def project_and_color(
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
     rgb = gaussian_color(base_color, sh, dirs, sh_deg, no_sh0)
     return splats, rgb, opacity
+
+
+def measure_max_fragments(
+    means: jnp.ndarray,
+    cov3d_sigma6: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    headroom: float = 1.3,
+    model_transform: Optional[tuple] = None,
+    size: float = 1.0,
+    max_std_dev: float = 3.0,
+    antialiased: bool = False,
+) -> int:
+    """Measured ``max_fragments`` for a scene+camera: one N-scale dry pass.
+
+    Projects the scene (opacity-aware extents, same as the renderer) and
+    counts live fragments exactly — no fragment-scale work. Returns a
+    lane-aligned capacity with ``headroom`` slack for parameter drift
+    during training. Every fragment-scale op costs proportional to the
+    STATIC capacity, so sizing from a measurement instead of the
+    ``default_max_fragments`` heuristic is both faster and safer
+    (bench.py sizes its capacity the same way). Blocks on the device
+    (returns a Python int) — call once per scene/camera, outside jit.
+    """
+    from ..ops.binning import count_fragments
+
+    h, w_px = camera.height, camera.width
+    tiles_x, tiles_y = num_tiles(w_px, h)
+    splats = project(
+        means, cov3d_sigma6, camera, model_transform,
+        size=size, radius_cutoff=max_std_dev, antialiased=antialiased,
+        opacity=opacity,
+    )
+    total = int(
+        count_fragments(splats.xy, splats.extent, splats.mask,
+                        tiles_x, tiles_y)
+    )
+    cap = max(int(total * headroom), 1024)
+    return -(-cap // 256) * 256
 
 
 def render(
@@ -181,7 +220,7 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
     f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
     mask = mask_f > 0.5
 
-    stream, attrs_sorted, offsets, counts, tab_t = bin_splats_attrs(
+    stream, attrs_sorted, tab_t = bin_splats_attrs(
         xy, extent, depth, mask, attr_cols, tiles_x, tiles_y, f_cap,
         tile_y_offset,
     )
@@ -289,21 +328,18 @@ def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
     f_pad = dfrag.shape[1]
     n = xy.shape[0]
     slot = jnp.arange(f_pad, dtype=jnp.int32)
-    # The live-block-bound grid (ops/rasterize._grid_steps) never writes
-    # dfrag past live_blocks * chunk — unwritten memory may hold NaN,
-    # which the segment reduction's 0-weight matmul would not sanitize.
-    # Mask both the key row and the gradient rows before sorting.
-    live_lanes = slot < live_blocks[0] * chunk
-    gid_key = jnp.where(live_lanes, dfrag[9].astype(jnp.int32), -1)
-    # Invalid lanes (gid -1: padding, dead blocks, the unvisited tail)
-    # get keys past every real gaussian so the live region after the
-    # sort is gaussian-major. Stability is NOT needed: the segment
-    # reduction matches keys by equality, so only grouping matters, not
-    # order within a group.
-    key = jnp.where(gid_key >= 0, gid_key, n + slot)
+    # Key build: invalid lanes (gid -1 on padding/dead blocks; NaN on the
+    # dynamic grid's never-written tail — NaN compares false, landing in
+    # the same branch) get keys past every real gaussian, so live lanes
+    # sort gaussian-major up front. Gradient rows ride UNMASKED: dead
+    # lanes sort behind every live fragment and can only reach the
+    # segment reduction's final partial block, whose kernel NaN-scrubs
+    # them (ops/segreduce.py) — this replaces ten XLA-side F_pad-scale
+    # masking passes with one. Stability is NOT needed: the reduction
+    # matches keys by equality, so only grouping matters.
+    key = jnp.where(dfrag[9] >= 0, dfrag[9].astype(jnp.int32), n + slot)
     sorted_out = jax.lax.sort(
-        (key,)
-        + tuple(jnp.where(live_lanes, dfrag[i], 0.0) for i in range(9)),
+        (key,) + tuple(dfrag[i] for i in range(9)),
         num_keys=1,
         is_stable=False,
     )
@@ -315,8 +351,10 @@ def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
         ],
         axis=0,
     )
-    n_live = jnp.sum(tab_t[2] > 0).astype(jnp.int32)  # ROW_COUNT > 0
-    gid_mono = gid_column(tab_t, n_live)
+    from ..ops.expand import table_counts
+
+    n_live = jnp.sum(table_counts(tab_t) > 0).astype(jnp.int32)
+    gid_mono = gid_column_sorted(tab_t, n_live)
     d_comp = segment_sums_sorted(dg16, gid_mono, num_frag)
     d_full = uncompact_columns(d_comp, gid_mono, n)  # [16, N]
     # On fragment-capacity overflow the stream is truncated; the equality

@@ -128,10 +128,27 @@ def fit(
     log_every: int = 0,
     **kw: Any,
 ) -> tuple[GaussianSoA, list[float]]:
-    """Fit a scene to one target image. Returns (fitted scene, loss curve)."""
+    """Fit a scene to one target image. Returns (fitted scene, loss curve).
+
+    Unless ``max_fragments`` is passed, the capacity is MEASURED from the
+    initial scene (render/renderer.measure_max_fragments, 1.5x headroom
+    for parameter drift) rather than the per-gaussian heuristic — the
+    heuristic either overflows (the step then trains on nothing) or
+    wastes fragment-scale cost.
+    """
     params = TrainableGaussians.from_soa(initial)
     opt = optimizer or optax.adam(learning_rate)
     opt_state = opt.init(params)
+    if "max_fragments" not in kw:
+        from .renderer import measure_max_fragments
+
+        means, cov6, _, opacity, _ = params.constrained()
+        kw["max_fragments"] = measure_max_fragments(
+            means, cov6, opacity, camera, headroom=1.5,
+            size=kw.get("size", 1.0),
+            max_std_dev=kw.get("max_std_dev", 3.0),
+            antialiased=kw.get("antialiased", False),
+        )
     step = make_train_step(camera, jnp.asarray(target, jnp.float32), opt, **kw)
 
     # Curve contract: one entry per logged step (every ``log_every``-th

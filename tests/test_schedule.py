@@ -129,3 +129,52 @@ def test_truncated_stream():
     assert list(written) == [True, True, False]
     _, _, lasts = _decode(sched)
     assert lasts[int(sched.live_blocks[0]) - 1]
+
+
+def test_truncation_surfaces_as_overflow():
+    """A pad_slack too small for the scene folds schedule truncation into
+    the render overflow flag and zeroes the gradients (same contract as
+    fragment-capacity overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgpu_3dgs_core_tpu import Camera, render
+    from wgpu_3dgs_core_tpu.ops.transforms import cov3d_from_rot_scale
+
+    rng = np.random.default_rng(0)
+    n = 64
+    means = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cov6 = cov3d_from_rot_scale(
+        jnp.asarray(q), jnp.asarray(0.05 + 0.1 * rng.random((n, 3)),
+                                    jnp.float32)
+    )
+    color = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    opac = jnp.asarray(0.3 + 0.6 * rng.random(n), jnp.float32)
+    cam = Camera.look_at(eye=(0, 0, -4), target=(0, 0, 0), width=128,
+                         height=96, fov_y=0.9)
+
+    ok = render(means, cov6, color, opac, cam, max_fragments=8192,
+                pad_slack=1.0)
+    assert not bool(ok.overflow)
+
+    # Capacity exactly at the live count (no fragment overflow) but zero
+    # padding headroom: the tile-padded schedule cannot fit and truncates.
+    from wgpu_3dgs_core_tpu import measure_max_fragments
+
+    tight = measure_max_fragments(means, cov6, opac, cam, headroom=1.0)
+
+    def loss(o, slack):
+        res = render(means, cov6, color, o, cam, max_fragments=tight,
+                     pad_slack=slack)
+        return jnp.sum(res.image), res.overflow
+
+    (l0, ovf), g = jax.value_and_grad(loss, has_aux=True)(opac, 0.0)
+    assert bool(ovf)  # truncated schedule surfaces as overflow
+    assert float(jnp.abs(g).max()) == 0.0  # and the step trains on nothing
+
+    # Sanity: same capacity with full padding headroom does not truncate.
+    (_, ovf1), g1 = jax.value_and_grad(loss, has_aux=True)(opac, 1.0)
+    assert not bool(ovf1)
+    assert float(jnp.abs(g1).max()) > 0.0

@@ -107,7 +107,7 @@ def main():
 def newtail():
     """The round-3 reorder: sort + [16,F] pack + segsum + uncompact."""
     n = 1_000_000
-    f_pad = 5_238_784
+    f_pad = int(os.environ.get("BWD_F_PAD", "3955712"))
     rng = np.random.default_rng(0)
     from wgpu_3dgs_core_tpu.ops.expand import build_segment_table
     from wgpu_3dgs_core_tpu.ops.segreduce import (
@@ -170,9 +170,8 @@ def _maybe_newtail():
 
 def variants():
     """Sub-piece probes: which part of the reorder is slow?"""
-    import sys as _sys
     n = 1_000_000
-    f_pad = 5_238_784
+    f_pad = int(os.environ.get("BWD_F_PAD", "3955712"))
     rng = np.random.default_rng(0)
     cols = [jnp.asarray(rng.normal(size=f_pad).astype(np.float32))
             for _ in range(9)]

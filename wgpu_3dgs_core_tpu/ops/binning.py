@@ -59,6 +59,8 @@ class PaddedSchedule(NamedTuple):
     blk_flags: jnp.ndarray  # [B_cap + 1] int32 packed per-block word for
     #   the branch-free rasterizer: tile<<2 | first<<1 | last; 0 for dead
     #   blocks (the +1 pad lets the backward kernel look one block ahead)
+    truncated: jnp.ndarray  # scalar bool: padded blocks exceeded B_cap
+    #   (trailing tiles dropped — callers surface this like overflow)
 
 
 def num_tiles(width: int, height: int) -> tuple[int, int]:
@@ -416,6 +418,7 @@ def pad_schedule(stream: FragmentStream, chunk: int,
         valid=valid,
         tile_written=tile_written,
         blk_flags=blk_flags,
+        truncated=total_blocks > b_cap,
     )
 
 

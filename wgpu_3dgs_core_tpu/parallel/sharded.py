@@ -225,6 +225,7 @@ def render_sharded(
     strip_skew: float = 2.0,
     exchange: str = "all_to_all",
     splat_skew: float = 2.0,
+    pad_slack: float = 1.0,
 ) -> RenderResult:
     """Differentiable multi-device render (feature parity with ``render``).
 
@@ -364,7 +365,7 @@ def render_sharded(
         tiles, overflow = rasterize_splats(
             xy_local, depth, conic, extent, mask, rgb, opac,
             tiles_x, rows_per_dev, f_cap, chunk, bg,
-            cutoff_sq=cutoff_sq, mode=mode,
+            cutoff_sq=cutoff_sq, mode=mode, pad_slack=pad_slack,
         )
 
         strips = jax.lax.all_gather(tiles, DATA_AXIS, axis=0, tiled=True)

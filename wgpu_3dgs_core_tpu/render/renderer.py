@@ -162,6 +162,7 @@ def render(
     max_std_dev: float = 3.0,
     display_mode: GaussianDisplayMode = GaussianDisplayMode.SPLAT,
     antialiased: bool = False,
+    pad_slack: float = 1.0,
 ) -> RenderResult:
     """Differentiable tiled render to [H, W, 3].
 
@@ -169,6 +170,12 @@ def render(
     ``opacity`` [N] in [0,1], optional ``sh`` [N,15,3].
     ``size``/``max_std_dev``/``display_mode`` implement the reference's
     GaussianTransform knobs (reference: src/buffer/gaussian_transform.rs).
+    ``pad_slack`` scales the tile-padding headroom of the streaming
+    schedule (worst case = one partial chunk per tile; the expectation is
+    half that). Values < 1 shrink every fragment-padded op — chiefly the
+    backward reorder sort — and tile truncation, if it ever fires, is
+    surfaced via ``overflow`` and zeroes the step's gradients, exactly
+    like fragment-capacity overflow.
     """
     h, w_px = camera.height, camera.width
     tiles_x, tiles_y = num_tiles(w_px, h)
@@ -192,6 +199,7 @@ def render(
         splats.xy, splats.depth, splats.conic, splats.extent, splats.mask,
         rgb, opacity, tiles_x, tiles_y, f_cap, chunk, tuple(background),
         cutoff_sq=float(max_std_dev) ** 2, mode=int(display_mode),
+        pad_slack=pad_slack,
     )
     img = tiles_to_image(tiles, tiles_x, tiles_y, w_px, h)
     return RenderResult(
@@ -203,7 +211,7 @@ def render(
 
 def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                         tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                        bg, cutoff_sq, mode):
+                        bg, cutoff_sq, mode, pad_slack):
     """Bin + fused attribute fetch + forward rasterization.
 
     ``attr_cols`` is attribute-major [9, N] (lanes = gaussians) so both
@@ -214,10 +222,15 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
     t_total = tiles_x * tiles_y
     group = DEFAULT_GROUP
     grp = chunk * group
-    # Tile padding adds at most one partial chunk per tile, so this cap
-    # never truncates a stream that fit f_cap (ops/binning.py); rounded to
-    # the rasterizer's group granularity.
-    f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
+    # Tile padding adds at most one partial chunk per nonempty tile, so
+    # pad_slack == 1 never truncates a stream that fit f_cap. Every
+    # fragment-padded op (the backward gid sort above all) costs
+    # proportional to this STATIC capacity while the EXPECTED padding is
+    # ~chunk/2 per tile, so callers may trade the worst case down
+    # (pad_slack < 1); truncation is detected (sched.truncated), folded
+    # into the overflow flag, and zeroes the step's gradients exactly
+    # like fragment overflow.
+    f_pad_cap = -(-(f_cap + int(t_total * chunk * pad_slack)) // grp) * grp
     mask = mask_f > 0.5
 
     stream, attrs_sorted, tab_t = bin_splats_attrs(
@@ -275,18 +288,19 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
         mat, off, fl, sched.blk_flags, sched.live_blocks, chunk, t_total,
         bg, cutoff_sq, mode, group,
     )
-    out = (tiles, sched.tile_written, stream.overflow)
+    overflow = stream.overflow | sched.truncated
+    out = (tiles, sched.tile_written, overflow)
     res = (mat, off, fl, sched.blk_flags, sched.live_blocks, tab_t,
-           stream.num_fragments, tiles, stream.overflow, xy, extent,
+           stream.num_fragments, tiles, overflow, xy, extent,
            depth, mask_f)
     return out, res
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10,
-                                                    11, 12))
+                                                    11, 12, 13))
 def _bin_rasterize(attr_cols, xy, extent, depth, mask_f,
                    tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                   bg, cutoff_sq, mode):
+                   bg, cutoff_sq, mode, pad_slack):
     """Differentiable-in-``attr_cols`` binning + tiled rasterization.
 
     Forward: attributes ride the expansion kernel's one-hot MXU fetch and
@@ -300,20 +314,20 @@ def _bin_rasterize(attr_cols, xy, extent, depth, mask_f,
     """
     out, _ = _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                                  tile_y_offset, tiles_x, tiles_y, f_cap,
-                                 chunk, bg, cutoff_sq, mode)
+                                 chunk, bg, cutoff_sq, mode, pad_slack)
     return out
 
 
 def _bin_rasterize_fwd(attr_cols, xy, extent, depth, mask_f,
                        tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                       bg, cutoff_sq, mode):
+                       bg, cutoff_sq, mode, pad_slack):
     return _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                                tile_y_offset, tiles_x, tiles_y, f_cap,
-                               chunk, bg, cutoff_sq, mode)
+                               chunk, bg, cutoff_sq, mode, pad_slack)
 
 
 def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                       bg, cutoff_sq, mode, residuals, cots):
+                       bg, cutoff_sq, mode, pad_slack, residuals, cots):
     (mat, off, fl, blk_flags, live_blocks, tab_t,
      num_frag, tiles_out, overflow, xy, extent, depth, mask_f) = residuals
     d_tiles = cots[0]  # other outputs are non-differentiable
@@ -374,7 +388,8 @@ _bin_rasterize.defvjp(_bin_rasterize_fwd, _bin_rasterize_bwd)
 def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
                      tiles_x: int, tiles_y: int, f_cap: int, chunk: int,
                      background: tuple, tile_y_offset=0,
-                     cutoff_sq: float = 9.0, mode: int = 0):
+                     cutoff_sq: float = 9.0, mode: int = 0,
+                     pad_slack: float = 1.0):
     """Projected splats -> [tiles_x*tiles_y, 256, 4] tile blocks.
 
     The shared middle of the pipeline (binning + gather + Pallas kernel),
@@ -398,7 +413,7 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
         mask.astype(jnp.float32),
         int(tile_y_offset),
         tiles_x, tiles_y, f_cap, chunk,
-        tuple(background), float(cutoff_sq), int(mode),
+        tuple(background), float(cutoff_sq), int(mode), float(pad_slack),
     )
     # Empty tiles get no block (ops/binning.py), so their output blocks
     # are never written by the kernel (uninitialized memory, possibly NaN);

@@ -9,6 +9,7 @@ from wgpu_3dgs_core_tpu.ops.segreduce import (
     SEG_BLOCK,
     gid_column,
     segment_sums_sorted,
+    split_grad_rows,
     uncompact_columns,
 )
 
@@ -40,9 +41,8 @@ def _setup(n, counts, f_pad, seed=0, drop=0):
     grads = rng.normal(size=(9, f_pad)).astype(np.float32)
     grads[:, live:] = 0.0
 
-    dg16 = np.zeros((16, f_pad), np.float32)
-    dg16[0:9] = grads
-    dg16[9] = key_full.astype(np.float32)
+    dg_split = split_grad_rows([jnp.asarray(grads[i]) for i in range(9)])
+    keys_f = jnp.asarray(key_full.astype(np.float32))
 
     # expected per-gaussian sums
     exp = np.zeros((n, 9), np.float32)
@@ -57,7 +57,7 @@ def _setup(n, counts, f_pad, seed=0, drop=0):
     )
     n_live = int((counts > 0).sum())
     gid_mono = gid_column(tab_t, jnp.int32(n_live))
-    return jnp.asarray(dg16), gid_mono, jnp.int32(live), exp
+    return (dg_split, keys_f), gid_mono, jnp.int32(live), exp
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -67,9 +67,9 @@ def test_segsum_uncompact_matches_naive(seed):
     counts = rng.integers(0, 7, n).astype(np.int32)
     counts[rng.random(n) < 0.3] = 0  # plenty of empty gaussians
     f_pad = 4 * SEG_BLOCK
-    dg16, gid_mono, total, exp = _setup(n, counts, f_pad, seed=seed)
+    (dgs, keys), gid_mono, total, exp = _setup(n, counts, f_pad, seed=seed)
 
-    d_comp = segment_sums_sorted(dg16, gid_mono, total)
+    d_comp = segment_sums_sorted(dgs, keys, gid_mono, total)
     d_full = uncompact_columns(d_comp, gid_mono, n)
     np.testing.assert_allclose(
         np.asarray(d_full[:9]).T, exp, rtol=1e-6, atol=1e-6
@@ -85,9 +85,9 @@ def test_segsum_single_gaussian_spans_blocks():
     counts[4] = 5
     counts[n - 1] = 2
     f_pad = 4 * SEG_BLOCK
-    dg16, gid_mono, total, exp = _setup(n, counts, f_pad, seed=7)
+    (dgs, keys), gid_mono, total, exp = _setup(n, counts, f_pad, seed=7)
 
-    d_comp = segment_sums_sorted(dg16, gid_mono, total)
+    d_comp = segment_sums_sorted(dgs, keys, gid_mono, total)
     d_full = uncompact_columns(d_comp, gid_mono, n)
     np.testing.assert_allclose(
         np.asarray(d_full[:9]).T, exp, rtol=1e-5, atol=1e-5
@@ -102,9 +102,10 @@ def test_segsum_missing_fragments_no_misattribution():
     counts = rng.integers(0, 5, n).astype(np.int32)
     f_pad = 4 * SEG_BLOCK
     # Build dropped stream; expected sums computed from the DROPPED stream.
-    dg16, gid_mono, total, exp = _setup(n, counts, f_pad, seed=3, drop=200)
+    (dgs, keys), gid_mono, total, exp = _setup(n, counts, f_pad, seed=3,
+                                               drop=200)
 
-    d_comp = segment_sums_sorted(dg16, gid_mono, total)
+    d_comp = segment_sums_sorted(dgs, keys, gid_mono, total)
     d_full = uncompact_columns(d_comp, gid_mono, n)
     np.testing.assert_allclose(
         np.asarray(d_full[:9]).T, exp, rtol=1e-6, atol=1e-6
@@ -115,7 +116,7 @@ def test_segsum_empty_stream():
     n = 520
     counts = np.zeros(n, np.int32)
     f_pad = 2 * SEG_BLOCK
-    dg16, gid_mono, total, exp = _setup(n, counts, f_pad)
-    d_comp = segment_sums_sorted(dg16, gid_mono, total)
+    (dgs, keys), gid_mono, total, exp = _setup(n, counts, f_pad)
+    d_comp = segment_sums_sorted(dgs, keys, gid_mono, total)
     d_full = uncompact_columns(d_comp, gid_mono, n)
     assert np.all(np.asarray(d_full) == 0.0)

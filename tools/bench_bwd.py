@@ -133,14 +133,13 @@ def newtail():
         key = jnp.where(gid_key >= 0, gid_key, n + slot)
         so = jax.lax.sort((key,) + tuple(d[i] for i in range(9)),
                           num_keys=1, is_stable=False)
-        dg16 = jnp.concatenate(
-            [jnp.stack(so[1:], axis=0),
-             so[0].astype(jnp.float32)[None, :],
-             jnp.zeros((6, f_pad), jnp.float32)], axis=0)
+        from wgpu_3dgs_core_tpu.ops.segreduce import split_grad_rows
+        dgs = split_grad_rows(list(so[1:]))
+        keys_f = so[0].astype(jnp.float32)
         from wgpu_3dgs_core_tpu.ops.expand import table_counts
         n_live = jnp.sum(table_counts(tab_t) > 0).astype(jnp.int32)
         gid_mono = gid_column_sorted(tab_t, n_live)
-        d_comp = segment_sums_sorted(dg16, gid_mono, total)
+        d_comp = segment_sums_sorted(dgs, keys_f, gid_mono, total)
         d_full = uncompact_columns(d_comp, gid_mono, n)
         return d_full[:, ::4096].sum()
 
@@ -151,11 +150,10 @@ def newtail():
         key = jnp.where(gid_key >= 0, gid_key, n + slot)
         so = jax.lax.sort((key,) + tuple(d[i] for i in range(9)),
                           num_keys=1, is_stable=False)
-        dg16 = jnp.concatenate(
-            [jnp.stack(so[1:], axis=0),
-             so[0].astype(jnp.float32)[None, :],
-             jnp.zeros((6, f_pad), jnp.float32)], axis=0)
-        return dg16[:, ::65536].sum()
+        from wgpu_3dgs_core_tpu.ops.segreduce import split_grad_rows
+        dgs = split_grad_rows(list(so[1:]))
+        return dgs[:, ::65536].astype(jnp.float32).sum() \
+            + so[0][::65536].sum()
 
     timed("sort+pack", sort_pack, (d16,))
     timed("newtail", tail, (d16, tab_t, total))

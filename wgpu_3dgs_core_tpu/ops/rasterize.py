@@ -177,11 +177,13 @@ def _tri(chunk, strict):
     return ((i < j) if strict else (i <= j)).astype(jnp.float32)
 
 
-# Lane sub-block for the cumsum-by-matmul: one MXU tile wide. The naive
-# [PIX, K] @ [K, K] triangular matmul costs PIX*K^2 MACs per chunk;
-# blocking it as K/B slices of [PIX, B] @ [B, B] plus a running per-pixel
-# carry costs PIX*K*B — same result up to f32 summation order.
-CUMSUM_BLOCK = 128
+# Lane sub-block for the cumsum-by-matmul: one MXU tile wide by default.
+# The naive [PIX, K] @ [K, K] triangular matmul costs PIX*K^2 MACs per
+# chunk; blocking it as K/B slices of [PIX, B] @ [B, B] plus a running
+# per-pixel carry costs PIX*K*B — same result up to f32 summation order.
+# Overridable (trace-time, like GS_TPU_CUMSUM_IMPL) for hardware A/Bs:
+# B=64 halves the MAC slots at the cost of one extra carry chain.
+CUMSUM_BLOCK = int(_os.environ.get("GS_TPU_CUMSUM_BLOCK", "128"))
 
 
 def _cumsum_impl():
@@ -532,6 +534,21 @@ def _bwd_kernel(
 
     @pl.when(work)
     def _():
+        # Batched exclusive cumsum across the group (mirrors the forward):
+        # log1p(-alpha) is state-independent, so the group's per-block
+        # tri-matmul issues collapse into one pair. The second cumsum (the
+        # wgt*u suffix sums in the block body) stays per-block — its input
+        # is masked by the state-dependent saturation test, which cannot
+        # be hoisted out of the sequential chain.
+        alphas = []
+        for j in range(group):
+            a_j, _, _, _, _, _, _ = _chunk_alphas(
+                frags[j], valids[j], chunk, cutoff_sq, mode
+            )
+            alphas.append(a_j)
+        log1m_all = jnp.log1p(-jnp.concatenate(alphas, axis=0))
+        ecs_all = _cumsum_lanes(log1m_all, chunk, strict=True)
+
         for j in range(group):
             @pl.when(firsts[j])
             def _(j=j):
@@ -557,12 +574,14 @@ def _bwd_kernel(
 
             _bwd_block_body(
                 frags[j], valids[j], gid_rows[j], dfrag_ref, state_ref, j,
+                log1m_all[j * PIX:(j + 1) * PIX],
+                ecs_all[j * PIX:(j + 1) * PIX],
                 chunk=chunk, cutoff_sq=cutoff_sq, mode=mode,
             )
 
 
 def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
-                    *, chunk, cutoff_sq, mode):
+                    log1m, ecs, *, chunk, cutoff_sq, mode):
     alpha, alpha_raw, g_exp, ok, dx, dy, _ = _chunk_alphas(
         frag, valid, chunk, cutoff_sq, mode,
     )
@@ -570,9 +589,6 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
     c1 = frag[3:4, :]
     c2 = frag[4:5, :]
     op = frag[8:9, :]
-
-    log1m = jnp.log1p(-alpha)
-    ecs = _cumsum_lanes(log1m, chunk, strict=True)
 
     t_run = state_ref[:, 3:4]
     t_i = t_run * jnp.exp(ecs)

@@ -16,11 +16,18 @@ Design (mirrors ops/expand.py):
   step only needs a 2-block aligned window of the compacted gid column.
 - Ownership is an EQUALITY match: oh[f, r] = (key[f] == gid_row[r]) — a
   [K, 2K] one-hot built on the VPU (f32 compares, exact below 2^24) and
-  contracted with the [16, K] gradient block on the MXU. Unlike an
-  analytic-offset diff-of-cumsum this does not require each live fragment
-  to appear exactly once at its expansion offset — missing fragments
-  (saturation skips, capacity truncation) simply contribute nothing
-  instead of shifting every later gaussian's segment.
+  contracted with the gradient block on the MXU. The gradients arrive as
+  exact 3-term bf16 splits ([32, K], split_grad_rows) so the contraction
+  is ONE native bf16 pass with 32 output rows instead of three HIGHEST
+  passes on a row-starved 16-row output (the MXU pads outputs to 128
+  rows; measured 1.16 us/block for the old form, tools/bench_segsum.py),
+  and the keys ride a separate pre-transposed [K, n_blocks] operand so
+  the per-block key column is a lane rotate, not an eye-matmul
+  transpose. Unlike an analytic-offset diff-of-cumsum this does not
+  require each live fragment to appear exactly once at its expansion
+  offset — missing fragments (saturation skips, capacity truncation)
+  simply contribute nothing instead of shifting every later gaussian's
+  segment.
 - Partials accumulate into a VMEM [16, 2K] two-panel scratch. The window
   start w0[b] is nondecreasing and advances by at most one block per grid
   step (<= K distinct owners per K fragments, every compacted row owns
@@ -51,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .expand import EXPAND_BLOCK, _F32_EXACT, table_gids
+from .expand import EXPAND_BLOCK, _F32_EXACT, split3, table_gids
 from .kernel_bundle import interpret_mode
 
 # One grid step reduces this many sorted fragments. Reuses the expand
@@ -59,7 +66,8 @@ from .kernel_bundle import interpret_mode
 # granularity) is shared between the forward and backward kernels.
 SEG_BLOCK = EXPAND_BLOCK
 
-GRAD_ROWS = 16  # rows 0-8 gradients, row 9 sorted gid key, 10-15 pad
+GRAD_ROWS = 16  # output panel rows: 0-8 gradient sums, 9-15 zero
+SPLIT_ROWS = 32  # kernel input rows: 9 gradients x 3 exact bf16 terms + pad
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -71,12 +79,41 @@ def _eye(k):
     ).astype(jnp.float32)
 
 
-def _segsum_kernel(w0_ref, total_ref, dg_ref, g0_ref, g1_ref, out_hbm,
-                   acc_ref, stage_ref, smem, sem, *, k: int):
+def split_grad_rows(cols9):
+    """[32, F] bf16 stream from 9 f32 gradient columns.
+
+    Each column is decomposed into its exact 3-term bf16 split
+    (ops/expand.split3), grouped as rows [0:9]=b1, [9:18]=b2, [18:27]=b3
+    so the kernel recombines with two row-block adds; rows 27-31 are zero.
+    The split exists so the segment-sum contraction runs as ONE native
+    bf16 MXU pass with 32 output rows instead of three HIGHEST passes on
+    a 16-row output (the MXU pads outputs to 128 rows, so row-starved
+    matmuls waste proportionally — measured 1.16 us/block,
+    tools/bench_segsum.py).
+    """
+    b1, b2, b3 = [], [], []
+    for c in cols9:
+        h1, h2, h3 = split3(c)
+        b1.append(h1)
+        b2.append(h2)
+        b3.append(h3)
+    f = cols9[0].shape[0]
+    pad = [jnp.zeros((f,), jnp.bfloat16)] * (SPLIT_ROWS - 27)
+    return jnp.stack(b1 + b2 + b3 + pad, axis=0)
+
+
+def _segsum_kernel(w0_ref, total_ref, dg_ref, kt_ref, g0_ref, g1_ref,
+                   out_hbm, acc_ref, stage_ref, smem, sem, *, k: int):
     """Grid step b: match block b's K sorted fragments against the gid
     window pair (w0[b], w0[b]+1), contract on the MXU, accumulate into the
     two-panel scratch, and flush the retired panel when the window
     advances.
+
+    ``dg_ref`` holds the split-bf16 gradient rows ([32, K], see
+    split_grad_rows) and ``kt_ref`` a [K, 128] slab of the PRE-TRANSPOSED
+    key matrix (keys on sublanes) — block b's key column is carved by a
+    lane rotate, replacing the former [K, K] eye-matmul transpose
+    (+0.22 us/block, tools/bench_segsum.py).
 
     SMEM slots: [0] current window (w_prev), [1] flush sequence counter,
     [2]/[3] DMA-in-flight flag per staging slot.
@@ -134,32 +171,35 @@ def _segsum_kernel(w0_ref, total_ref, dg_ref, g0_ref, g1_ref, out_hbm,
 
     @pl.when(b * k < total_ref[0])
     def _():
-        dg = dg_ref[...]  # [16, K]
+        dg = dg_ref[...]  # [32, K] bf16 split rows
         # NaN scrub: lanes past the rasterizer's live blocks are never
         # written (dynamic grid) and may hold NaN. Their keys sort past
         # every live fragment, so at most the last processed block sees
         # them; their one-hot row is all-zero, but NaN * 0 = NaN — scrub
         # here (free VPU select) instead of 10 XLA-side masking passes
         # over the full F_pad stream (round-5 backward-chain cut).
-        dg = jnp.where(dg == dg, dg, 0.0)
-        key_row = dg[9:10, :]  # [1, K] sorted gid keys (f32-exact ints)
+        dg = jnp.where(dg == dg, dg, jnp.bfloat16(0))
+        # Key column via lane rotate of the pre-transposed key slab.
+        key_col = pltpu.roll(
+            kt_ref[...], 128 - jax.lax.rem(b, 128), axis=1
+        )[:, 0:1]  # [K, 1] f32
         gid_win = jnp.concatenate([g0_ref[0:1, :], g1_ref[0:1, :]],
                                   axis=1)  # [1, 2K]
-        # MXU transpose: key_col[i, 0] = key_row[0, i] via an identity
-        # contraction (exact for integers < 2^24 under bf16x3/HIGHEST;
-        # Mosaic has no cheap [1, K] -> [K, 1] relayout).
-        key_col = jnp.round(
-            jax.lax.dot_general(
-                _eye(k), key_row, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HIGH,
-            )
-        )  # [K, 1]
-        oh = (key_col == gid_win).astype(jnp.float32)  # [K, 2K]
-        # partial[c, r] = sum_f dg[c, f] * oh[f, r]
-        acc_ref[...] += jax.lax.dot_general(
+        oh = (key_col == gid_win).astype(jnp.bfloat16)  # [K, 2K]
+        # partial[c, r] = sum_f dg[c, f] * oh[f, r]: ONE native bf16 pass
+        # (both operands bf16-exact), f32 accumulators — same error class
+        # as the former HIGHEST contraction (f32 accumulation order).
+        part = jax.lax.dot_general(
             dg, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HIGH,
-        )  # [16, 2K]
+            preferred_element_type=jnp.float32,
+        )  # [32, 2K]
+        acc_ref[...] += jnp.concatenate(
+            [
+                (part[0:9] + part[9:18]) + part[18:27],
+                jnp.zeros((GRAD_ROWS - 9, 2 * k), jnp.float32),
+            ],
+            axis=0,
+        )
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -180,21 +220,32 @@ def _uncompact_kernel(w0_ref, n_ref, d0_ref, d1_ref, g0_ref, g1_ref,
                       out_ref, *, k: int):
     """Output block b (original gaussians [b*K, (b+1)*K)): gather each
     gaussian's compacted column by equality one-hot against the gid window
-    pair. Gaussians with no fragments match nothing -> exact zeros."""
+    pair. Gaussians with no fragments match nothing -> exact zeros.
+
+    The [16, 2K] window is split in-kernel to exact bf16 triples so the
+    contraction runs as one native bf16 pass on a 32-row output instead
+    of three HIGHEST passes on a row-starved 16-row one (the same
+    economics as the segment-sum kernel; tools/bench_segsum.py)."""
     del n_ref
     b = pl.program_id(0)
     g_col = (b * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)).astype(
         jnp.float32
     )
     gid_win = jnp.concatenate([g0_ref[0:1, :], g1_ref[0:1, :]], axis=1)
-    oh = (g_col == gid_win).astype(jnp.float32)  # [K, 2K]
+    oh = (g_col == gid_win).astype(jnp.bfloat16)  # [K, 2K]
     d_win = jnp.concatenate(
-        [d0_ref[0, :, :], d1_ref[0, :, :]], axis=1
-    )  # [16, 2K]
-    out_ref[...] = jax.lax.dot_general(
-        d_win, oh, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HIGH,
-    )  # [16, K]
+        [d0_ref[0], d1_ref[0]], axis=1
+    )  # [16, 2K] f32 (rows 9-15 zero by the segsum contract)
+    b1 = d_win.astype(jnp.bfloat16)
+    r1 = d_win - b1.astype(jnp.float32)
+    b2 = r1.astype(jnp.bfloat16)
+    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+    d_split = jnp.concatenate([b1, b2, b3], axis=0)  # [48, 2K] bf16, exact
+    part = jax.lax.dot_general(
+        d_split, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [48, K]
+    out_ref[...] = (part[0:16] + part[16:32]) + part[32:48]
 
 
 def gid_column(tab_t: jnp.ndarray, n_live: jnp.ndarray) -> jnp.ndarray:
@@ -232,7 +283,8 @@ def _gid_mat(gid_mono):
 
 
 def segment_sums_sorted(
-    dg16: jnp.ndarray,  # [16, F_pad]: rows 0-8 sorted grads, row 9 key
+    dg_split: jnp.ndarray,  # [32, F_pad] bf16 (split_grad_rows)
+    keys: jnp.ndarray,  # [F_pad] f32 sorted gid keys (exact ints < 2^24)
     gid_mono: jnp.ndarray,  # [n_pad] f32 monotone compacted gids
     total: jnp.ndarray,  # scalar int32 upper bound on live fragments
     k: int = SEG_BLOCK,
@@ -240,12 +292,13 @@ def segment_sums_sorted(
     """Per-compacted-row sums of the gid-sorted gradient stream.
 
     Returns [n_win, 16, K] f32 window panels (compacted row r lives at
-    [r // K, :, r % K]); rows 0-8 are the gradient sums, row 9 the key
-    sums (garbage), never-flushed windows exact zeros.
+    [r // K, :, r % K]); rows 0-8 are the gradient sums, rows 9-15 zero,
+    never-flushed windows exact zeros.
     """
-    f_pad = dg16.shape[1]
+    f_pad = dg_split.shape[1]
     n_pad = gid_mono.shape[0]
     assert f_pad % k == 0 and n_pad % k == 0
+    assert dg_split.shape[0] == SPLIT_ROWS
     if f_pad >= (1 << 24):
         raise ValueError("segment reduce requires F_pad < 2^24 (f32 keys)")
     n_blocks = f_pad // k
@@ -253,7 +306,7 @@ def segment_sums_sorted(
 
     # Window per block: rank of the block's first key in the compacted gid
     # column (block-scale: F/K strided reads + searchsorted into N rows).
-    first_key = dg16[9, ::k]  # [n_blocks] f32
+    first_key = keys[::k]  # [n_blocks] f32
     r_first = (
         jnp.searchsorted(gid_mono, first_key, side="right").astype(jnp.int32)
         - 1
@@ -261,6 +314,14 @@ def segment_sums_sorted(
     w0 = jnp.clip(r_first // k, 0, n_win - 2).astype(jnp.int32)
     total32 = jnp.reshape(total.astype(jnp.int32), (1,))
     gid_mat = _gid_mat(gid_mono)
+
+    # Pre-transposed keys: [K, n_blocks_pad] with keys on sublanes, so the
+    # kernel carves block b's key column with a lane rotate instead of an
+    # eye-matmul transpose. One XLA transpose at block scale (~16 MB).
+    nb_pad = -(-n_blocks // 128) * 128
+    keys_t = jnp.pad(
+        keys.reshape(n_blocks, k).T, ((0, 0), (0, nb_pad - n_blocks))
+    )
 
     # Live-bound dynamic grid: blocks past the live prefix (keys sorted
     # past every real gaussian) contribute nothing — skip them entirely on
@@ -273,7 +334,8 @@ def segment_sums_sorted(
         num_scalar_prefetch=2,
         grid=(live_grid(total, n_blocks, k),),
         in_specs=[
-            pl.BlockSpec((GRAD_ROWS, k), lambda b, w0, tt: (0, b)),
+            pl.BlockSpec((SPLIT_ROWS, k), lambda b, w0, tt: (0, b)),
+            pl.BlockSpec((k, 128), lambda b, w0, tt: (0, b // 128)),
             pl.BlockSpec((8, k), lambda b, w0, tt: (0, w0[b])),
             pl.BlockSpec((8, k), lambda b, w0, tt: (0, w0[b] + 1)),
             pl.BlockSpec(memory_space=pltpu.HBM),  # zeros, aliased to out
@@ -287,20 +349,20 @@ def segment_sums_sorted(
         ],
     )
 
-    def kernel(w0_ref, total_ref, dg_ref, g0_ref, g1_ref, zeros_ref,
-               out_hbm, acc_ref, stage_ref, smem, sem):
+    def kernel(w0_ref, total_ref, dg_ref, kt_ref, g0_ref, g1_ref,
+               zeros_ref, out_hbm, acc_ref, stage_ref, smem, sem):
         del zeros_ref
-        _segsum_kernel(w0_ref, total_ref, dg_ref, g0_ref, g1_ref, out_hbm,
-                       acc_ref, stage_ref, smem, sem, k=k)
+        _segsum_kernel(w0_ref, total_ref, dg_ref, kt_ref, g0_ref, g1_ref,
+                       out_hbm, acc_ref, stage_ref, smem, sem, k=k)
 
     zeros = jnp.zeros((n_win, GRAD_ROWS, k), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_win, GRAD_ROWS, k), jnp.float32),
-        input_output_aliases={5: 0},  # zeros (operand 5 incl. prefetch)
+        input_output_aliases={6: 0},  # zeros (operand 6 incl. prefetch)
         interpret=interpret_mode(),
-    )(w0, total32, dg16, gid_mat, gid_mat, zeros)
+    )(w0, total32, dg_split, keys_t, gid_mat, gid_mat, zeros)
 
 
 def uncompact_columns(

@@ -41,6 +41,7 @@ from ..ops.rasterize import (
 from ..ops.segreduce import (
     gid_column_sorted,
     segment_sums_sorted,
+    split_grad_rows,
     uncompact_columns,
 )
 from ..ops.sh import gaussian_color
@@ -357,19 +358,16 @@ def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
         num_keys=1,
         is_stable=False,
     )
-    dg16 = jnp.concatenate(
-        [
-            jnp.stack(sorted_out[1:], axis=0),  # [9, F_pad]
-            sorted_out[0].astype(jnp.float32)[None, :],  # key row
-            jnp.zeros((6, f_pad), jnp.float32),
-        ],
-        axis=0,
-    )
+    # The sorted gradient columns feed the Pallas segment reduction as
+    # exact bf16 triples (ops/segreduce.split_grad_rows) with the keys as
+    # a separate f32 stream — no [16, F_pad] f32 repack.
+    dg_split = split_grad_rows(list(sorted_out[1:]))
+    keys_f = sorted_out[0].astype(jnp.float32)
     from ..ops.expand import table_counts
 
     n_live = jnp.sum(table_counts(tab_t) > 0).astype(jnp.int32)
     gid_mono = gid_column_sorted(tab_t, n_live)
-    d_comp = segment_sums_sorted(dg16, gid_mono, num_frag)
+    d_comp = segment_sums_sorted(dg_split, keys_f, gid_mono, num_frag)
     d_full = uncompact_columns(d_comp, gid_mono, n)  # [16, N]
     # On fragment-capacity overflow the stream is truncated; the equality
     # match cannot misattribute (missing fragments just contribute

@@ -54,17 +54,20 @@ def main():
     parser.add_argument("--gaussians", type=int, default=1_000_000)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
-    # Capacity sized to the scene: the headline cloud measures exactly
-    # 2,928,682 live fragments (opacity-aware elliptical bboxes), the
-    # heavy scene 6,874,108 — so 3.28M / 8.4M give ~1.12x / 1.22x
-    # headroom at 1M gaussians. Every fragment-scale op (sort, masking,
-    # schedule) costs proportional to this STATIC capacity, not the live
-    # count — oversizing it is pure overhead (r4: 4.2M -> 3.28M saved
-    # ~10 ms/step of sort/mask work). Overflow is checked every run and
-    # reported in the JSON line; a production caller sizes this to its
-    # scene the same way.
-    parser.add_argument("--max-fragments", type=int, default=3_276_800)
-    parser.add_argument("--heavy-max-fragments", type=int, default=8_388_608)
+    # Capacity sized to the scene: with the exact row-trimmed binning
+    # (round 5) the headline cloud measures exactly 2,639,616 live
+    # fragments / 1,640,960 rows, the heavy scene 5,992,448 / 2,516,992 —
+    # so 2.96M / 7.32M fragments give ~1.12x / 1.22x headroom at 1M
+    # gaussians (measure_max_fragments / measure_max_rows). Every
+    # fragment-scale op (sort, masking, schedule) costs proportional to
+    # this STATIC capacity, not the live count — oversizing it is pure
+    # overhead (r4: 4.2M -> 3.28M saved ~10 ms/step of sort/mask work).
+    # Overflow is checked every run and reported in the JSON line; a
+    # production caller sizes this to its scene the same way.
+    parser.add_argument("--max-fragments", type=int, default=2_957_312)
+    parser.add_argument("--heavy-max-fragments", type=int, default=7_311_360)
+    parser.add_argument("--max-rows", type=int, default=1_887_232)
+    parser.add_argument("--heavy-max-rows", type=int, default=2_894_848)
     # Tile-padding headroom (worst case 1.0 = one partial chunk per tile;
     # the expectation on any real scene is half that). 0.65 shrinks the
     # backward reorder sort ~8% at zero risk: truncation, if a
@@ -91,6 +94,8 @@ def main():
         args.width, args.height = 512, 512
         args.max_fragments = 262_144
         args.heavy_max_fragments = 1_048_576
+        args.max_rows = 131_072
+        args.heavy_max_rows = 262_144
         args.iters, args.warmup = 3, 1
 
     import os
@@ -115,12 +120,12 @@ def main():
     scene = synthetic_scene(args.gaussians)
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
 
-    def make_step(max_fragments):
+    def make_step(max_fragments, max_rows):
         def loss_fn(means, cov6, color, opac, sh):
             res = render(
                 means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
                 background=(0.0, 0.0, 0.0), max_fragments=max_fragments,
-                chunk=chunk, pad_slack=args.pad_slack,
+                chunk=chunk, pad_slack=args.pad_slack, max_rows=max_rows,
             )
             return jnp.mean((res.image - target) ** 2), res.overflow
 
@@ -154,7 +159,7 @@ def main():
         return (time.perf_counter() - t0) / iters, out
 
     npix = args.width * args.height
-    step = make_step(args.max_fragments)
+    step = make_step(args.max_fragments, args.max_rows)
     dt, out = time_fn(step, scene, args.warmup, args.iters, overflow_ix=1)
     loss, overflow = out[0], out[1]
     mpix_s = npix / dt / 1e6
@@ -167,7 +172,7 @@ def main():
                 means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
                 background=(0.0, 0.0, 0.0),
                 max_fragments=args.max_fragments, chunk=chunk,
-                pad_slack=args.pad_slack,
+                pad_slack=args.pad_slack, max_rows=args.max_rows,
             )
             return jnp.mean((res.image - target) ** 2)
 
@@ -178,7 +183,7 @@ def main():
 
     if args.full:
         hscene = heavy_scene(args.gaussians)
-        hstep = make_step(args.heavy_max_fragments)
+        hstep = make_step(args.heavy_max_fragments, args.heavy_max_rows)
         dt_h, hout = time_fn(hstep, hscene, args.warmup, args.iters,
                              overflow_ix=1)
         extras["heavy_mpix_s"] = round(npix / dt_h / 1e6, 2)

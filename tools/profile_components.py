@@ -71,10 +71,12 @@ def main():
     p.add_argument("--gaussians", type=int, default=1_000_000)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
-    p.add_argument("--max-fragments", type=int, default=3_276_800)
+    p.add_argument("--max-fragments", type=int, default=2_957_312)
+    p.add_argument("--max-rows", type=int, default=1_887_232)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--sh-deg", type=int, default=3)
     p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--pad-slack", type=float, default=0.65)
     args = p.parse_args()
     chunk = args.chunk or DEFAULT_CHUNK
 
@@ -92,7 +94,7 @@ def main():
     f_cap = -(-args.max_fragments // chunk) * chunk
     from wgpu_3dgs_core_tpu.ops.rasterize import DEFAULT_GROUP
     grp = chunk * DEFAULT_GROUP
-    f_pad_cap = -(-(f_cap + t_total * chunk) // grp) * grp
+    f_pad_cap = -(-(f_cap + int(t_total * chunk * args.pad_slack)) // grp) * grp
 
     means, cov6, color, opac, sh = scene
 
@@ -110,7 +112,7 @@ def main():
         )
         st, attrs, _ = bin_splats_attrs(
             spl.xy, spl.extent, spl.depth, spl.mask, table.T,
-            tiles_x, tiles_y, f_cap,
+            tiles_x, tiles_y, f_cap, max_rows=args.max_rows,
         )
         return attrs[:, ::65536].sum() + st.tile_start.sum()
 
@@ -127,7 +129,8 @@ def main():
         out, res = _bin_rasterize_impl(
             table.T, spl.xy, spl.extent, spl.depth,
             spl.mask.astype(jnp.float32), 0, tiles_x, tiles_y, f_cap,
-            chunk, (0.0, 0.0, 0.0), 9.0, 0,
+            chunk, (0.0, 0.0, 0.0), 9.0, 0, args.pad_slack,
+            args.max_rows,
         )
         return out, res
 
@@ -178,7 +181,8 @@ def main():
         res = render(
             means, cov6, color, opac, cam, sh=sh, sh_deg=args.sh_deg,
             background=(0.0, 0.0, 0.0), max_fragments=args.max_fragments,
-            chunk=chunk,
+            chunk=chunk, pad_slack=args.pad_slack,
+            max_rows=args.max_rows,
         )
         return jnp.mean((res.image - target) ** 2), res.overflow
 

@@ -502,7 +502,7 @@ def build_tables(counts, span_x, x0, y0, gid, attr_rows, depth,
         gid.astype(jnp.float32),
     )
     a = attr_rows.shape[0]
-    assert a == ATTR_VALS, "attr_rows must carry the 9 blend values"
+    assert 3 * a <= ATTR_TAB_ROWS, "attr table holds at most 10 split values"
     key = (counts == 0).astype(jnp.int32)  # zeros last, stable
     # Masked gaussians carry inf depth but sort by the zero-count key
     # first, so inf never decides an order among live rows.
@@ -540,3 +540,155 @@ def build_tables(counts, span_x, x0, y0, gid, attr_rows, depth,
         [attr, jnp.zeros((ATTR_TAB_ROWS, n_pad - n), jnp.bfloat16)], axis=1
     )
     return tab_t, attr_t
+
+
+# ---------------------------------------------------------------------------
+# Two-level expansion: gaussians -> tile ROWS -> fragments (round 5).
+#
+# The bbox rectangle over-counts tiles the cutoff ellipse never touches
+# (~26% of fragments on the bench scene, ~15% on the heavy scene — measured
+# by tools/probe_rowtrim.py). Exact per-tile-row x-intervals need per-row
+# segment granularity, which the window machinery above already supports:
+# a (gaussian, tile-row) entry with span == count is just a segment whose
+# rank decode has dy == 0. Level 1 expands gaussians into their bbox rows
+# (every bbox row intersects the ellipse, so every row owns >= 1 fragment
+# and no compaction is needed); level 2 is expand_fragments_with_attrs
+# UNCHANGED, fed a per-row table built elementwise at row scale
+# (build_row_tables). The per-gaussian depth-ordered table (build_tables
+# with counts = span_y) keeps the backward segment reduction's unique-gid
+# column exactly as before.
+#
+# Row-stream layout emitted by the level-1 kernel ([16, r_cap] f32):
+ROWS_X0 = 0  # bbox first tile column
+ROWS_ROW = 1  # strip-local tile row (y0 + rank)
+ROWS_SPANX = 2  # bbox tile width
+ROWS_RY = 3  # extent[:, 1]: the cutoff ellipse's pixel half-extent in y
+ROWS_ATTR0 = 4  # rows 4..12: the 9 blend attributes (x y conic3 rgb op)
+ROWS_GID = 13  # owning gaussian id (f32-exact)
+ROW_ATTR_VALS = 10  # level-1 attr table: 9 blend values + ry
+
+
+def _expand_row_kernel(win0_ref, total_ref, t0_ref, t1_ref, a0_ref, a1_ref,
+                       out_ref, *, k: int):
+    """Level-1 expansion: one output column per (gaussian, bbox tile row).
+
+    The per-gaussian table stores counts = span_y (rows per gaussian) and
+    keeps span_x/x0/y0 as passthrough digit rows, so the same one-hot
+    owner match yields rank == dy and every bbox field directly.
+    """
+    del win0_ref
+    b = pl.program_id(0)
+    win, oh = _owner_onehot(b, t0_ref, t1_ref, k)
+    awin = jnp.concatenate([a0_ref[...], a1_ref[...]], axis=1)
+    joint = jnp.concatenate([win, awin], axis=0)
+    fetched = jax.lax.dot_general(
+        joint, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [48, K]
+    ints = jnp.round(fetched[:TAB_ROWS])
+    off = (
+        ints[ROW_OFF0:ROW_OFF0 + 1, :]
+        + ints[ROW_OFF1:ROW_OFF1 + 1, :] * 256.0
+        + ints[ROW_OFF2:ROW_OFF2 + 1, :] * 65536.0
+    )
+    gid = (
+        ints[ROW_GID0:ROW_GID0 + 1, :]
+        + ints[ROW_GID1:ROW_GID1 + 1, :] * 256.0
+        + ints[ROW_GID2:ROW_GID2 + 1, :] * 65536.0
+    )
+    fi_row = b * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    rank = fi_row.astype(jnp.float32) - off
+    vals = fetched[TAB_ROWS:]
+    rec = [
+        (vals[3 * i:3 * i + 1, :] + vals[3 * i + 1:3 * i + 2, :])
+        + vals[3 * i + 2:3 * i + 3, :]
+        for i in range(ROW_ATTR_VALS)
+    ]  # 9 blend attrs + ry, bit-exact f32
+    valid = fi_row < total_ref[0]
+    gid = jnp.where(valid, gid, 0.0)
+    out_ref[...] = jnp.concatenate(
+        [
+            ints[ROW_X0:ROW_X0 + 1, :],
+            ints[ROW_Y0:ROW_Y0 + 1, :] + rank,
+            ints[ROW_SPAN:ROW_SPAN + 1, :],
+            rec[9],  # ry
+        ]
+        + rec[:9]
+        + [gid, jnp.zeros((2, k), jnp.float32)],
+        axis=0,
+    )
+
+
+def expand_rows(tab_t: jnp.ndarray, attr_t: jnp.ndarray,
+                total_rows: jnp.ndarray, r_cap: int,
+                k: int = EXPAND_BLOCK) -> jnp.ndarray:
+    """Expand the per-gaussian (counts = span_y) table into the row stream.
+
+    Returns [16, r_cap] f32 (layout: ROWS_* above). Slots past
+    ``total_rows`` are NEVER WRITTEN on hardware (live-bound grid) —
+    callers must mask the tail before consuming it.
+    """
+    assert r_cap % k == 0, "row capacity must be a block multiple"
+    n_blocks = r_cap // k
+    win0 = _window_starts(tab_t, n_blocks, k)
+    total32 = jnp.reshape(total_rows.astype(jnp.int32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(live_grid(total_rows, n_blocks, k),),
+        in_specs=[
+            pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
+            pl.BlockSpec((TAB_ROWS, k), lambda b, w0, tt: (0, w0[b] + 1)),
+            pl.BlockSpec((ATTR_TAB_ROWS, k), lambda b, w0, tt: (0, w0[b])),
+            pl.BlockSpec((ATTR_TAB_ROWS, k),
+                         lambda b, w0, tt: (0, w0[b] + 1)),
+        ],
+        out_specs=pl.BlockSpec((16, k), lambda b, w0, tt: (0, b)),
+    )
+    return pl.pallas_call(
+        functools.partial(_expand_row_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, r_cap), jnp.float32),
+        interpret=interpret_mode(),
+    )(win0, total32, tab_t, tab_t, attr_t, attr_t)
+
+
+def build_row_tables(off_r, cnt_r, tx0_r, row_r, gid_r, attr9_f32, live_r,
+                     k: int = EXPAND_BLOCK):
+    """Per-row segment + attribute tables for level-2 expansion.
+
+    All elementwise at row scale (no sort: the row stream is already
+    depth-major and fully live — every row owns >= 1 fragment). ``off_r``
+    must already be the exclusive cumsum of ``cnt_r`` with dead rows
+    masked to a monotone never-match tail. ``attr9_f32`` is [9, r_cap]
+    (bit-exact f32 values from the level-1 fetch).
+    Returns (tab2 [16, r_pad] bf16, attr2 [32, r_pad] bf16).
+    """
+    r_cap = cnt_r.shape[0]
+    assert r_cap % k == 0
+    r_pad = r_cap + k
+    off_i = jnp.where(live_r, off_r, _F32_EXACT - 1.0).astype(jnp.int32)
+    cnt_i = jnp.where(live_r, cnt_r, 0.0).astype(jnp.int32)
+    # span == count: the level-2 rank decode becomes dy = 0, dx = rank.
+    tab2 = _pack_tab(
+        _int_digit_cols(
+            off_i, cnt_i, cnt_i, tx0_r.astype(jnp.int32),
+            row_r.astype(jnp.int32), gid_r.astype(jnp.int32),
+        ),
+        r_pad,
+    )
+    attr_split = []
+    for i in range(9):
+        col = jnp.where(live_r, attr9_f32[i], 0.0)
+        attr_split.extend(split3(col))
+    attr_split.extend(
+        jnp.zeros((r_cap,), jnp.bfloat16)
+        for _ in range(ATTR_TAB_ROWS - 27)
+    )
+    attr2 = jnp.concatenate(
+        [
+            jnp.stack(attr_split, axis=0),
+            jnp.zeros((ATTR_TAB_ROWS, r_pad - r_cap), jnp.bfloat16),
+        ],
+        axis=1,
+    )
+    return tab2, attr2

@@ -79,6 +79,12 @@ TILE_ROW = 10
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
+# The kernels carry log(T) in their per-tile state (kills an extra
+# [PIX, 1] exp + multiplies per block — the round-5 VPU-critical-path
+# item); the saturation tests compare in the log domain. exp(lt + ecs)
+# vs T * exp(ecs) differs by ~|lt| * eps ~ 5e-7 relative — far inside
+# every parity bar.
+LOG_T_MIN = -9.210340371976182  # ln(T_MIN)
 Q_CUTOFF = 9.0  # RADIUS_CUTOFF ** 2
 
 # Blocks per grid step (static inner unroll). Sets the automatic pipeline
@@ -329,7 +335,7 @@ def _fwd_kernel(
                 out_buf.at[oslot], out_hbm.at[0], out_sem.at[oslot]
             ).wait()
 
-        t_f = state_ref[:, 3:4]
+        t_f = jnp.exp(state_ref[:, 3:4])  # state carries log(T)
         cols = [
             state_ref[:, ch: ch + 1] + t_f * float(bg[ch])
             for ch in range(3)
@@ -347,7 +353,7 @@ def _fwd_kernel(
     # run the branch-free body when their group is live, but their lanes
     # read the t_total-tagged tail / other tiles, so valid is all-false
     # and every contribution is exactly zero.
-    work = any_first | (jnp.max(state_ref[:, 3]) > T_MIN)
+    work = any_first | (jnp.max(state_ref[:, 3]) > LOG_T_MIN)
 
     @pl.when(work)
     def _():
@@ -380,9 +386,10 @@ def _fwd_kernel(
             ecs = ecs_all[j * PIX:(j + 1) * PIX]
 
             # Per-tile state reset folded into vector selects (no branch).
-            t_run = jnp.where(first, 1.0, state_ref[:, 3:4])
-            t_i = t_run * jnp.exp(ecs)  # [PIX, K]
-            blend = t_i > T_MIN
+            lt_run = jnp.where(first, 0.0, state_ref[:, 3:4])
+            lt_i = lt_run + ecs  # [PIX, K] log-transmittance
+            t_i = jnp.exp(lt_i)
+            blend = lt_i > LOG_T_MIN
             wgt = jnp.where(blend, alphas[j] * t_i, 0.0)
 
             # acc_ch += sum_k wgt * c_ch: VPU lane reductions (a [PIX,K]
@@ -392,9 +399,8 @@ def _fwd_kernel(
             state_ref[:, 0:3] = jnp.where(
                 first, 0.0, state_ref[:, 0:3]
             ) + jnp.concatenate(acc, axis=1)
-            state_ref[:, 3:4] = t_run * jnp.exp(
-                jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
-                        keepdims=True)
+            state_ref[:, 3:4] = lt_run + jnp.sum(
+                jnp.where(blend, log1m, 0.0), axis=1, keepdims=True
             )
 
             @pl.when(lasts[j])
@@ -517,7 +523,7 @@ def _bwd_kernel(
         def _(nxt=nxt):
             start_tile_dma(nxt >> 2)
 
-    work = any_first | (jnp.max(state_ref[:, 3]) > T_MIN)
+    work = any_first | (jnp.max(state_ref[:, 3]) > LOG_T_MIN)
 
     @pl.when(jnp.logical_not(work))
     def _():
@@ -558,8 +564,8 @@ def _bwd_kernel(
                     tile_sem.at[tslot]
                 ).wait()
                 smem[3] += 1
+                # Column 3 (log T) starts at log(1) = 0 — one zero fill.
                 state_ref[...] = jnp.zeros((PIX, 16), jnp.float32)
-                state_ref[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
                 # One [8, PIX] -> [PIX, 8] transpose per tile instead of
                 # per block: park everything in pixel-column layout.
                 state_ref[:, 4:12] = jnp.concatenate(
@@ -590,9 +596,10 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
     c2 = frag[4:5, :]
     op = frag[8:9, :]
 
-    t_run = state_ref[:, 3:4]
-    t_i = t_run * jnp.exp(ecs)
-    blend = t_i > T_MIN
+    lt_run = state_ref[:, 3:4]  # log-transmittance state
+    lt_i = lt_run + ecs
+    t_i = jnp.exp(lt_i)
+    blend = lt_i > LOG_T_MIN
     wgt = jnp.where(blend, alpha * t_i, 0.0)
 
     t_f = state_ref[:, 4:5]
@@ -682,8 +689,8 @@ def _bwd_block_body(frag, valid, gid_row, dfrag_ref, state_ref, j,
 
     # advance prefix accumulators (VPU lane reductions, see _lane_sum3)
     state_ref[:, 0:3] += jnp.concatenate(_lane_sum3(wgt, c_rows), axis=1)
-    state_ref[:, 3:4] = t_run * jnp.exp(
-        jnp.sum(jnp.where(blend, log1m, 0.0), axis=1, keepdims=True)
+    state_ref[:, 3:4] = lt_run + jnp.sum(
+        jnp.where(blend, log1m, 0.0), axis=1, keepdims=True
     )
 
 

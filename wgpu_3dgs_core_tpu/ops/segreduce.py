@@ -176,9 +176,12 @@ def _segsum_kernel(w0_ref, total_ref, dg_ref, kt_ref, g0_ref, g1_ref,
         # written (dynamic grid) and may hold NaN. Their keys sort past
         # every live fragment, so at most the last processed block sees
         # them; their one-hot row is all-zero, but NaN * 0 = NaN — scrub
-        # here (free VPU select) instead of 10 XLA-side masking passes
+        # here (cheap VPU select) instead of 10 XLA-side masking passes
         # over the full F_pad stream (round-5 backward-chain cut).
-        dg = jnp.where(dg == dg, dg, jnp.bfloat16(0))
+        # The self-compare runs in f32: Mosaic has no bf16 vector cmpf on
+        # this target ("Target does not support this comparison").
+        dg32 = dg.astype(jnp.float32)
+        dg = jnp.where(dg32 == dg32, dg, jnp.bfloat16(0))
         # Key column via lane rotate of the pre-transposed key slab.
         key_col = pltpu.roll(
             kt_ref[...], 128 - jax.lax.rem(b, 128), axis=1

